@@ -1,0 +1,210 @@
+"""B6/B7 — batched mention detection + (subj, pred, obj) triple
+extraction via ONE vectorized Arrow/pandas UDF [BASELINE.json:6,15].
+
+Design notes (scale):
+  * a single ``pandas_udf`` returns ``struct<mentions: array<struct>,
+    triples: array<struct>>`` so each 10k-row Arrow batch crosses the
+    JVM/Python boundary exactly once;
+  * inside the batch everything is vectorized pandas string ops
+    (``str.split`` / ``str.extract`` / groupby-agg) — no per-row Python
+    [BASELINE.json:15];
+  * the UDF is a pure function of ``text`` alone, so extraction is
+    invariant under any partitioning / shuffle (tests/test_invariants.py);
+  * offsets are computed arithmetically from the grammar (subject is
+    sentence-initial; object offset = subj_len + len(phrase) + 2), not
+    via re-scanning, keeping the batch O(rows x patterns).
+
+The grammar is ``corpus.PREDICATES`` — the same spec the frozen oracle
+(oracle_extractor.py) implements row-at-a-time; the two share only the
+grammar constants, never code (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..corpus import MENTION_ONLY_TEMPLATES, PREDICATES
+from ..schemas import MENTION_STRUCT, TRIPLE_STRUCT
+
+_EXTRACT_TYPE = T.StructType(
+    [
+        T.StructField("mentions", T.ArrayType(MENTION_STRUCT), False),
+        T.StructField("triples", T.ArrayType(TRIPLE_STRUCT), False),
+    ]
+)
+
+_SENT_SPLIT = r"(?<=[.?])\s+"
+
+
+def _normalize(s: pd.Series) -> pd.Series:
+    return s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+def _extract_batch(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized extraction over one Arrow batch."""
+    import re
+
+    n = len(texts)
+    if n == 0:
+        return pd.DataFrame({"mentions": [], "triples": []})
+
+    base = pd.DataFrame({"text": texts.fillna("").values, "rid": range(n)})
+    sents = base.assign(sent=base["text"].str.split(_SENT_SPLIT)).explode("sent")
+    sents = sents.dropna(subset=["sent"])
+    # char offset of each sentence inside its turn: sentences are joined by
+    # one whitespace char, so offset = cumsum(len+1) shifted within rid.
+    slen = sents["sent"].str.len()
+    sents = sents.assign(
+        soff=(slen + 1).groupby(sents["rid"]).cumsum().groupby(sents["rid"]).shift(fill_value=0)
+    )
+
+    m_parts: list[pd.DataFrame] = []
+    t_parts: list[pd.DataFrame] = []
+
+    claimed = pd.Series(False, index=sents.index)  # first-match-wins, as the oracle
+    for pred, (_st, _ot, phrase) in PREDICATES.items():
+        pat = r"^(.+?) " + re.escape(phrase) + r" (.+?)[.?]$"
+        ex = sents["sent"].str.extract(pat)
+        hit = ex[0].notna() & ~claimed
+        if not hit.any():
+            continue
+        claimed |= hit
+        h = sents.loc[hit, ["rid", "soff"]].copy()
+        h["subj"] = ex.loc[hit, 0]
+        h["obj"] = ex.loc[hit, 1]
+        h["pred"] = pred
+        h["subj_start"] = h["soff"].astype("int64")
+        h["obj_start"] = h["subj_start"] + h["subj"].str.len() + len(phrase) + 2
+        t_parts.append(h)
+        for col, start in (("subj", "subj_start"), ("obj", "obj_start")):
+            m_parts.append(
+                pd.DataFrame(
+                    {
+                        "rid": h["rid"],
+                        "surface": h[col],
+                        "start": h[start],
+                    }
+                )
+            )
+
+    for tmpl in MENTION_ONLY_TEMPLATES:
+        pre, suf = tmpl.split("{E}")
+        pat = "^" + re.escape(pre) + r"(.+?)" + re.escape(suf) + "$"
+        ex = sents["sent"].str.extract(pat)
+        hit = ex[0].notna() & ~claimed
+        if not hit.any():
+            continue
+        claimed |= hit
+        h = sents.loc[hit, ["rid", "soff"]]
+        m_parts.append(
+            pd.DataFrame(
+                {
+                    "rid": h["rid"],
+                    "surface": ex.loc[hit, 0],
+                    "start": (h["soff"] + len(pre)).astype("int64"),
+                }
+            )
+        )
+
+    def build_mentions(g: pd.DataFrame) -> list[dict]:
+        surf = g["surface"]
+        norm = _normalize(surf)
+        start = g["start"].astype(int)
+        end = start + surf.str.len().astype(int)
+        return [
+            {"surface": s, "norm": nm, "start": int(st), "end": int(en)}
+            for s, nm, st, en in zip(surf, norm, start, end)
+        ]
+
+    def build_triples(g: pd.DataFrame) -> list[dict]:
+        return [
+            {
+                "subj_surface": r.subj,
+                "pred": r.pred,
+                "obj_surface": r.obj,
+                "subj_start": int(r.subj_start),
+                "obj_start": int(r.obj_start),
+            }
+            for r in g.itertuples(index=False)
+        ]
+
+    if t_parts:
+        allt = pd.concat(t_parts, ignore_index=True).sort_values(["rid", "subj_start"])
+        t_packed = allt.groupby("rid").apply(build_triples, include_groups=False)
+    else:
+        t_packed = pd.Series(dtype=object)
+    t_col = pd.Series([[] for _ in range(n)], index=range(n))
+    t_col.update(t_packed)
+
+    if m_parts:
+        allm = pd.concat(m_parts, ignore_index=True).sort_values(["rid", "start"])
+        m_packed = allm.groupby("rid").apply(build_mentions, include_groups=False)
+    else:
+        m_packed = pd.Series(dtype=object)
+    m_col = pd.Series([[] for _ in range(n)], index=range(n))
+    m_col.update(m_packed)
+
+    return pd.DataFrame({"mentions": m_col.values, "triples": t_col.values})
+
+
+@F.pandas_udf(_EXTRACT_TYPE)
+def extract_udf(texts: pd.Series) -> pd.DataFrame:
+    return _extract_batch(texts)
+
+
+def with_extraction(turns: DataFrame) -> DataFrame:
+    """Attach the ``extracted`` struct column (one Arrow crossing)."""
+    return turns.withColumn("extracted", extract_udf(F.col("text")))
+
+
+def mentions_table(turns_extracted: DataFrame) -> DataFrame:
+    """Explode to the mentions IR table (FIXTURES.md §C).
+
+    mention_id is a deterministic pure function of (conv_id, turn_idx,
+    start) — stable under any partitioning."""
+    m = turns_extracted.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.explode("extracted.mentions").alias("m"),
+    )
+    return m.select(
+        "conv_id",
+        "turn_idx",
+        F.concat_ws(":", "conv_id", "turn_idx", F.col("m.start")).alias("mention_id"),
+        F.col("m.surface").alias("surface"),
+        F.col("m.norm").alias("norm"),
+        F.col("m.start").alias("start"),
+        F.col("m.end").alias("end"),
+        "role",
+    )
+
+
+def triples_table(turns_extracted: DataFrame) -> DataFrame:
+    """Explode to the surface-level triples IR table with qualifiers
+    (tool, ts, extraction provenance) — reference analogue: one FK
+    *instance* per child row [recon: graphproc.py createRelations]."""
+    t = turns_extracted.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "ts",
+        F.explode("extracted.triples").alias("t"),
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.concat_ws(":", "conv_id", "turn_idx", F.col("t.subj_start")).alias("subj_mention"),
+        F.col("t.pred").alias("pred"),
+        F.concat_ws(":", "conv_id", "turn_idx", F.col("t.obj_start")).alias("obj_mention"),
+        F.lower(F.trim(F.regexp_replace(F.col("t.subj_surface"), r"\s+", " "))).alias("subj_norm"),
+        F.lower(F.trim(F.regexp_replace(F.col("t.obj_surface"), r"\s+", " "))).alias("obj_norm"),
+        F.col("ts"),
+        F.create_map(
+            F.lit("tool"), F.coalesce(F.col("tool"), F.lit("")),
+            F.lit("ts"), F.col("ts").cast("string"),
+        ).alias("qualifiers"),
+    )

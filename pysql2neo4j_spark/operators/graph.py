@@ -1,0 +1,77 @@
+"""B15-B17 — canonical-id assignment + node/edge materialization.
+
+Reference semantics preserved [recon: graphproc.py]:
+  * PK -> node identity        => canonical entity_id -> one node row
+    (uniqueness enforced by groupBy on entity_id — the Spark analogue of
+    ``CREATE CONSTRAINT ... IS UNIQUE``, audited in pipeline metrics);
+  * FK -> relationship          => each (subj, pred, obj) triple instance
+    joins both endpoints to canonical ids and aggregates to one edge row
+    with properties (n_obs, first_ts, provenance) — the association-
+    table-with-properties case [recon: rdbmsproc.py is_association].
+
+Scale notes: the two mention->entity joins are salted broadcast joins
+(the form->entity map is dim-sized; the hot entity is ~30% of mentions),
+so the fact table is never shuffled for linking — only for the final
+groupBys, which AQE splits if skewed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .skew import salted_broadcast_join
+
+PROVENANCE_CAP = 20
+
+
+def link_mentions(mentions: DataFrame, form2entity: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Attach entity_id to every mention via salted broadcast join."""
+    return salted_broadcast_join(
+        mentions, form2entity, key="norm", salt_on="mention_id", n_salts=n_salts
+    )
+
+
+def build_nodes(linked_mentions: DataFrame) -> DataFrame:
+    """One node per canonical entity: id, display name (most frequent
+    surface, deterministic tiebreak), alias set, mention count."""
+    per_surface = linked_mentions.groupBy("entity_id", "surface").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("entity_id").orderBy(F.desc("n"), "surface")
+    best = per_surface.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
+        "entity_id", F.col("surface").alias("canonical_name")
+    )
+    agg = linked_mentions.groupBy("entity_id").agg(
+        F.sort_array(F.collect_set("norm")).alias("aliases"),
+        F.count("*").alias("n_mentions"),
+    )
+    return (
+        agg.join(best, on="entity_id")
+        .select(
+            "entity_id",
+            F.lit("entity").alias("label"),
+            "canonical_name",
+            "aliases",
+            "n_mentions",
+        )
+    )
+
+
+def build_edges(triples: DataFrame, form2entity: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Canonical edges with properties + provenance.
+
+    Two salted broadcast joins (subj, obj) then a distinct-ifying
+    aggregate — the Spark analogue of the reference's per-FK MATCH ...
+    CREATE, collapsed to set semantics with observation counts."""
+    subj_map = form2entity.select(
+        F.col("norm").alias("subj_norm"), F.col("entity_id").alias("src_entity")
+    )
+    obj_map = form2entity.select(
+        F.col("norm").alias("obj_norm"), F.col("entity_id").alias("dst_entity")
+    )
+    t = salted_broadcast_join(triples, subj_map, key="subj_norm", salt_on="subj_mention", n_salts=n_salts)
+    t = salted_broadcast_join(t, obj_map, key="obj_norm", salt_on="obj_mention", n_salts=n_salts)
+    return t.groupBy("src_entity", "dst_entity", "pred").agg(
+        F.count("*").alias("n_obs"),
+        F.min("ts").alias("first_ts"),
+        F.slice(F.sort_array(F.collect_set("conv_id")), 1, PROVENANCE_CAP).alias("provenance"),
+    )

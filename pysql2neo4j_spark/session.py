@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is a sandbox proxy for a multi-executor cluster: the configs
+below (AQE, skew-join splitting, explicit shuffle parallelism, Arrow
+batching) are the same ones that matter at 1000-executor / 100 TB scale;
+only the numbers change (``shuffle_partitions`` ~ 2-3x total cores,
+``maxPartitionBytes`` sized so a scan task fits in executor memory).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def cpu_count_from_env(default: int = 32) -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", default))
+
+
+def get_spark(
+    app_name: str = "pysql2neo4j_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Parameters mirror what ``spark-submit`` would set on a real cluster;
+    in the sandbox we default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cores = cpu_count_from_env()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        # ~1x parallelism for local mode; a real cluster wants 2-3x total
+        # cores so AQE has room to coalesce.
+        try:
+            n = int(master.split("[", 1)[1].rstrip("]*")) if "[" in master else cores
+        except ValueError:
+            n = cores
+        shuffle_partitions = max(n, 4)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # deterministic shuffle behavior for the text-equality invariant tests
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,60 @@
+"""Transcript source/sink with the Iceberg/Parquet writer seam.
+
+The mandate targets Iceberg tables [BASELINE.json:14]; this sandbox has
+no iceberg-spark-runtime jar (verified — SURVEY.md §7.7), so the writer
+seam keeps identical semantics behind ``catalog="iceberg"|"parquet"``:
+
+  Iceberg:  df.writeTo(tbl).partitionedBy(bucket(k, "entity_id"))
+  Parquet:  directory-partitioned by part_key = pmod(xxhash64(id), k)
+            (the same bucket transform, materialized as a column)
+
+Both give co-located, prunable, equal-sized buckets keyed by canonical
+entity id; resume/commit semantics come from the checkpoint manifest
+(plans/checkpoint.py) in the parquet path and from snapshot metadata in
+the Iceberg path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TRANSCRIPT_SCHEMA
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Explicit-schema read — never inferSchema in the pipeline proper."""
+    if path.startswith("iceberg:"):
+        return spark.read.table(path.removeprefix("iceberg:"))
+    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+    catalog: str = "parquet",
+) -> None:
+    """Partitioned graph-table write (nodes/edges) through the seam."""
+    if catalog == "iceberg":
+        if not iceberg_available(df.sparkSession):
+            raise RuntimeError(
+                "iceberg catalog requested but no iceberg-spark-runtime jar on the classpath"
+            )
+        writer = df.writeTo(path).partitionedBy(F.bucket(n_buckets, F.col(bucket_col)))
+        writer.createOrReplace() if mode == "overwrite" else writer.append()
+        return
+    out = df.withColumn(
+        "part_key", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
+    )
+    out.write.mode(mode).partitionBy("part_key").parquet(path)
