@@ -1,0 +1,120 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
+sf0.01, compare row count + schema + order-insensitive value hash.
+
+Usage: python tools/selfcheck.py [key ...]   (default: all keys)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form: columns sorted by name, rows sorted by all cols."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    s = df.to_csv(index=False, float_format="%.9g")
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+        return problems
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    # dtype normalization for comparison
+    for c in a.columns:
+        if pd.api.types.is_datetime64_any_dtype(a[c]) or pd.api.types.is_datetime64_any_dtype(b[c]):
+            a[c] = pd.to_datetime(a[c]).astype("datetime64[us]")
+            b[c] = pd.to_datetime(b[c]).astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(a[c]) and pd.api.types.is_integer_dtype(b[c]):
+            a[c] = a[c].astype("int64")
+            b[c] = b[c].astype("int64")
+        if str(a[c].dtype) != str(b[c].dtype):
+            problems.append(f"dtype[{c}] spark={a[c].dtype} duck={b[c].dtype}")
+    if len(a) == len(b):
+        for c in a.columns:
+            if pd.api.types.is_float_dtype(a[c]):
+                if not np.allclose(
+                    a[c].fillna(-9e99), b[c].astype("float64").fillna(-9e99),
+                    rtol=0, atol=1e-9,
+                ):
+                    problems.append(f"values[{c}] differ (float)")
+            else:
+                neq = (a[c].astype(str) != b[c].astype(str)).sum()
+                if neq:
+                    problems.append(f"values[{c}] differ in {neq} rows")
+    hs, hd = value_hash(a), value_hash(b)
+    if hs != hd:
+        problems.append(f"hash {hs} != {hd}")
+    return problems
+
+
+def main() -> int:
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+    from pysql2neo4j_spark.schemas import STAR_TABLES
+    from pysql2neo4j_spark.session import get_spark
+
+    sf_dir = "/root/testdata/sf0.01"
+    only = set(sys.argv[1:])
+
+    spark = get_spark(app_name="selfcheck", master="local[16]")
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    n_fail = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only check, rows={len(spark_pdf)} "
+                  f"cols={sorted(spark_pdf.columns)}")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {exc}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"PASS {name}: rows={len(spark_pdf)}")
+    spark.stop()
+    print(f"\n{n_fail} failures / {len(only) if only else len(queries)} checked")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
