@@ -523,3 +523,678 @@ def scalar_array_map_json(spark, sf_dir):
         F.size(F.split("event_type", "i", -1)).cast("long").alias("n_splits"),
         F.upper("event_type").alias("type_uc"),
     )
+
+
+# =====================================================================
+# Vectorized UDF surface (Arrow boundary)
+# =====================================================================
+
+@register(
+    "udf_pandas_scalar",
+    """SELECT o_orderkey,
+              round(o_totalprice * (1.0 - 0.08) + 5.0, 4) AS net_price
+       FROM orders WHERE o_orderstatus = 'O'""",
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Scalar pandas UDF (Arrow-vectorized). The oracle recomputes the
+    same arithmetic in SQL — proving the UDF boundary is lossless."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def net(price: pd.Series) -> pd.Series:
+        return (price * (1.0 - 0.08) + 5.0).round(4)
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return o.select("o_orderkey", net(F.col("o_totalprice")).alias("net_price"))
+
+
+@register(
+    "udaf_grouped_agg",
+    """SELECT l_returnflag,
+              round(sum(l_quantity * l_extendedprice) / sum(l_extendedprice), 6)
+                AS weighted_qty
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def udaf_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (UDAF surface): price-weighted mean
+    quantity per return flag."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def wmean(q: pd.Series, p: pd.Series) -> float:
+        return float(round((q * p).sum() / p.sum(), 6))
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wmean(F.col("l_quantity"), F.col("l_extendedprice")).alias("weighted_qty")
+    )
+
+
+@register(
+    "udtf_explode_tokens",
+    """SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       WHERE tok <> ''
+       GROUP BY doc_id, tok""",
+)
+def udtf_explode_tokens(spark, sf_dir):
+    """Table-function surface: tokenize + explode (one row in, N out) —
+    the same array-returning-UDF + posexplode machinery the mention
+    extractor uses (operators/extraction.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# KG semantics on the star schema — pysql2neo4j parity, SQL-checkable
+# =====================================================================
+
+@register(
+    "kg_nodes_customer",
+    """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS entity_id,
+              'Customer' AS label,
+              c_name AS name,
+              c_mktsegment AS mktsegment
+       FROM customer""",
+)
+def kg_nodes_customer(spark, sf_dir):
+    """A7: table row -> labeled node; PK -> node identity
+    [recon: graphproc.py importTableCsv]. Label = table name,
+    properties = columns."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("entity_id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+
+
+@register(
+    "kg_edges_fk_orders_customer",
+    """SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS src,
+              'customer:' || CAST(o_custkey AS VARCHAR) AS dst,
+              'PLACED_BY' AS rel
+       FROM orders WHERE o_custkey IS NOT NULL""",
+)
+def kg_edges_fk_orders_customer(spark, sf_dir):
+    """A10/A11: FK -> relationship with NULL-FK filter
+    [recon: graphproc.py createRelations]."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    return o.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("customer:"), F.col("o_custkey").cast("string")).alias("dst"),
+        F.lit("PLACED_BY").alias("rel"),
+    )
+
+
+@register(
+    "kg_edges_assoc_lineitem",
+    """SELECT 'order:' || CAST(l.l_orderkey AS VARCHAR) AS src,
+              'part:' || CAST(l.l_partkey AS VARCHAR) AS dst,
+              'CONTAINS' AS rel,
+              round(sum(l.l_quantity), 2) AS qty,
+              round(sum(l.l_extendedprice), 2) AS price,
+              CAST(count(*) AS BIGINT) AS n_lines
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN part p   ON l.l_partkey  = p.p_partkey
+       GROUP BY l.l_orderkey, l.l_partkey""",
+)
+def kg_edges_assoc_lineitem(spark, sf_dir):
+    """A12: association table -> edge with properties, never a node
+    [recon: rdbmsproc.py is_association + graphproc.py]. Both FK
+    endpoints must resolve (inner joins); extra columns become edge
+    properties, aggregated per (src, dst)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("dst"),
+            F.lit("CONTAINS").alias("rel"),
+            "qty",
+            "price",
+            "n_lines",
+        )
+    )
+
+
+@register(
+    "kg_constraint_audit",
+    """SELECT l_orderkey, l_linenumber, CAST(count(*) AS BIGINT) AS n_dups
+       FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1""",
+)
+def kg_constraint_audit(spark, sf_dir):
+    """A8: uniqueness-constraint enforcement as an audit — lineitem has
+    no natural PK (TESTDATA/FIXTURES), so the would-be key
+    (l_orderkey, l_linenumber) reports duplicates instead of silently
+    creating colliding node ids. The reference flags PK-less tables
+    [recon: rdbmsproc.py]."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@register(
+    "kg_multihop_chain",
+    """SELECT r.r_name AS region, n.n_name AS nation,
+              CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+              CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+       FROM region r
+       JOIN nation n   ON n.n_regionkey = r.r_regionkey
+       JOIN customer c ON c.c_nationkey = n.n_nationkey
+       LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY r.r_name, n.n_name""",
+)
+def kg_multihop_chain(spark, sf_dir):
+    """Multi-hop FK chain (region<-nation<-customer<-orders): the graph
+    traversal pysql2neo4j enables post-migration, expressed as chained
+    broadcast joins."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# =====================================================================
+# Streaming semantics (batch-equivalent oracle; true streaming in
+# pysql2neo4j_spark/streaming + tests/test_streaming.py)
+# =====================================================================
+
+@register(
+    "stream_tumbling",
+    """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+              event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 2) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def stream_tumbling(spark, sf_dir):
+    """Tumbling-window aggregate — the exact groupBy(window(...)) used
+    by the Structured Streaming ingest (streaming/ingest.py); in batch
+    mode the window() result equals the streaming output after
+    watermark close, which is what the oracle checks."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register("stream_session")  # session windows: no robust SQL oracle -> rows-only
+def stream_session(spark, sf_dir):
+    """Session windows (30 min gap) per user — the batch session_window
+    operator; streaming variant lives in streaming/ingest.py."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+# =====================================================================
+# Training-data pipeline operators: dedup family (task mandate)
+# =====================================================================
+
+# Shared word-3gram shingle CTE for the DuckDB oracles. Matches
+# functions.text.ngram_shingles: lower + collapse-whitespace tokens,
+# distinct 3-gram shingles.
+_SQL_SHINGLES = """
+  base AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS l
+    FROM documents
+  ),
+  sh AS (
+    SELECT doc_id,
+           list_distinct(
+             list_transform(range(1, greatest(len(l) - 2, 1) + 1),
+                            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+           ) AS s
+    FROM base
+  )
+"""
+
+_SQL_JACCARD_PAIRS = (
+    "WITH "
+    + _SQL_SHINGLES
+    + """,
+  ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+  sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+  pairs AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+    FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT id_a, id_b,
+         round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= {th}
+"""
+)
+
+
+@register(
+    "dedup_exact",
+    """WITH aug AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+       )
+       SELECT md5(text) AS content_hash,
+              CAST(count(*) AS BIGINT) AS n_copies,
+              min(doc_id) AS keeper_id,
+              string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+       FROM aug GROUP BY md5(text) HAVING count(*) > 1""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact (hash-groupBy) dedup. The fixture corpus has no exact dups,
+    so both engines deterministically plant copies of every 20th doc —
+    the detector must find exactly those groups and elect min-id keepers
+    (pysql2neo4j PK-uniqueness semantics)."""
+    from .operators.dedup import exact_dup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    g = exact_dup_groups(aug, "doc_id", "text")
+    return g.select(
+        "content_hash",
+        "n_copies",
+        "keeper_id",
+        F.concat_ws(",", F.transform(F.col("member_ids"), lambda x: x.cast("string"))).alias("members"),
+    )
+
+
+@register("dedup_ngram_jaccard", _SQL_JACCARD_PAIRS.format(th=0.8))
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard dedup via the shingle inverted-index join —
+    finds the corpus's 25 planted near-dup pairs (J >= 0.97)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register("dedup_minhash_lsh", _SQL_JACCARD_PAIRS.format(th=0.8))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + banded LSH with exact verification. The oracle is the
+    *exact* Jaccard pair set: LSH must achieve perfect recall at the
+    corpus's J >= 0.97 dup band (P(miss) < 1e-10 at 12x4) — candidate
+    pruning plus verification makes the approximate path exact."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, bands=12, rows=4, threshold=0.8)
+
+
+@register("dedup_simhash", _SQL_JACCARD_PAIRS.format(th=0.8))
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup detection (64-bit, 16-bit chunk blocking,
+    hamming + exact-Jaccard verification), checked against the same
+    exact pair set."""
+    from .operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=64, verify_threshold=0.8).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       b AS (SELECT vec_id, embedding,
+                    CAST(embedding[1] >= 0 AS INT) + 2 * CAST(embedding[2] >= 0 AS INT) AS bucket
+             FROM v)
+       SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+              round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) AS cos_sim
+       FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.45""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs with sign-bucket candidate
+    pruning (both engines apply the identical bucket rule, so the
+    approximate candidate set is itself oracle-checked)."""
+    from .operators.dedup import embedding_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(e, "vec_id", "embedding", threshold=0.45, n_buckets=4)
+
+
+# =====================================================================
+# Similarity search (ANN) over embeddings
+# =====================================================================
+
+_SQL_ANN_EXACT = """
+  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+  scored AS (
+    SELECT query_id, neighbor_id,
+           round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])), 6) AS score
+    FROM c CROSS JOIN q
+  )
+  SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rnk
+        FROM scored)
+  WHERE rnk <= 5
+"""
+
+
+@register("ann_topk_exact", _SQL_ANN_EXACT)
+def ann_topk_exact(spark, sf_dir):
+    """Brute-force cosine top-5 (exact baseline): query side broadcast,
+    corpus scan partition-parallel, JVM-side zip_with dot products."""
+    from .operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        e.filter(F.col("vec_id") >= 10), e.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@register("ann_topk_pandas", _SQL_ANN_EXACT)
+def ann_topk_pandas(spark, sf_dir):
+    """Same exact top-5 through the Arrow/numpy mapInPandas kernel
+    (BLAS matmul per batch + global window finalize) — proving the
+    vectorized path is result-identical to the JVM expression path."""
+    from .operators.similarity import brute_force_topk_pandas
+
+    e = _t(spark, sf_dir, "embeddings")
+    qpdf = e.filter(F.col("vec_id") < 10).select("vec_id", "embedding").toPandas()
+    return brute_force_topk_pandas(e.filter(F.col("vec_id") >= 10), qpdf, k=5)
+
+
+@register(
+    "ann_sign_lsh",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                        CAST(embedding[1] >= 0 AS INT) + 2 * CAST(embedding[2] >= 0 AS INT) AS bucket
+                 FROM embeddings WHERE vec_id < 10),
+       c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                    CAST(embedding[1] >= 0 AS INT) + 2 * CAST(embedding[2] >= 0 AS INT) AS bucket
+             FROM embeddings WHERE vec_id >= 10),
+       scored AS (
+         SELECT query_id, neighbor_id,
+                round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])), 6) AS score
+         FROM c JOIN q USING (bucket)
+       )
+       SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id) AS rnk
+             FROM scored)
+       WHERE rnk <= 5""",
+)
+def ann_sign_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN (scale path): probes only the query's
+    bucket — ~4x cheaper, approximate; the bucket rule is deterministic
+    so even the approximation is oracle-checked."""
+    from .operators.similarity import sign_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return sign_lsh_topk(
+        e.filter(F.col("vec_id") >= 10), e.filter(F.col("vec_id") < 10), k=5, n_bits=2
+    )
+
+
+@register(
+    "ann_ivf",
+    """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
+                     FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
+       c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+       q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       assigned AS (
+         SELECT neighbor_id, cv, centroid_id FROM (
+           SELECT neighbor_id, cv, centroid_id,
+                  row_number() OVER (PARTITION BY neighbor_id
+                                     ORDER BY round(list_cosine_similarity(CAST(cv AS DOUBLE[]), CAST(centv AS DOUBLE[])), 6) DESC,
+                                              centroid_id) AS rn
+           FROM c CROSS JOIN cent) WHERE rn = 1),
+       probes AS (
+         SELECT query_id, qv, centroid_id FROM (
+           SELECT query_id, qv, centroid_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(centv AS DOUBLE[])), 6) DESC,
+                                              centroid_id) AS rn
+           FROM q CROSS JOIN cent) WHERE rn <= 4),
+       scored AS (
+         SELECT query_id, neighbor_id,
+                round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])), 6) AS score
+         FROM assigned JOIN probes USING (centroid_id))
+       SELECT query_id, neighbor_id, score, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id) AS rnk
+             FROM scored)
+       WHERE rnk <= 5""",
+)
+def ann_ivf(spark, sf_dir):
+    """IVF ANN (inverted-file): corpus assigned to nearest of 16
+    centroids, queries probe 4 lists. Every stage (assignment, probe
+    selection, scoring) is deterministic and replicated in the oracle."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e.filter(F.col("vec_id") >= 10), e.filter(F.col("vec_id") < 10),
+        k=5, n_centroids=16, n_probe=4,
+    )
+
+
+# =====================================================================
+# Text analysis over documents (task mandate)
+# =====================================================================
+
+def _sql_lang_hits() -> str:
+    """Per-(doc, lang) stopword-hit CTE mirroring functions.text.lang_id."""
+    from .functions.text import _LANG_MARKERS
+
+    rows = []
+    for lang, ws in sorted(_LANG_MARKERS.items()):
+        lst = ", ".join(f"'{w}'" for w in ws)
+        rows.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"CAST(len(list_intersect(list_distinct(toks), [{lst}])) AS BIGINT) AS hits "
+            f"FROM tk"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@register(
+    "text_lang_id",
+    """WITH tk AS (
+         SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         FROM documents
+       ),
+       hits AS ({HITS}),
+       best AS (
+         SELECT doc_id, lang, hits,
+                row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+         FROM hits
+       )
+       SELECT d.doc_id,
+              CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
+       FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1""",
+)
+def text_lang_id(spark, sf_dir):
+    """N-gram-heuristic language ID: stopword hits per language over the
+    distinct token set, argmax with (hits desc, lang desc) tiebreak.
+    The oracle replays the identical scoring rule in SQL."""
+    from .functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_quality",
+    """SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars,
+              CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+              round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                    / length(text), 6) AS punct_ratio,
+              round(CAST(len(list_intersect(
+                       list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')),
+                       ['the','and','of','to','a','in','is','it','that','for',
+                        'on','with','as','was','at','by','an','be','this','are'])) AS DOUBLE)
+                    / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), 6)
+                AS stopword_ratio
+       FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    """Quality-scoring signals (length / punctuation / stopword ratios)
+    — the heuristics a pretraining filter runs over every document."""
+    from .functions.text import _STOPWORDS_EN, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    n_stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in _STOPWORDS_EN]))
+    )
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_token_fingerprint",
+    """SELECT doc_id,
+              CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       FROM documents""",
+)
+def text_token_fingerprint(spark, sf_dir):
+    """Token counting + document fingerprinting (md5 of the normalized
+    text so the oracle can recompute it; the engine-internal fingerprint
+    is xxhash64 — functions.text.fingerprint)."""
+    from .functions.text import norm_text, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(norm_text(F.col("text"))).alias("fp"),
+    )
+
+
+# =====================================================================
+# Multimodal plumbing (stubbed decode; real Spark-side contract)
+# =====================================================================
+
+@register(
+    "multimodal_features",
+    """SELECT doc_id AS media_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              CAST((SELECT sum(ascii(substr(text, i + 1, 1)))
+                    FROM unnest(range(length(text))) AS u(i)) % 997 AS BIGINT) AS byte_sum_mod,
+              ascii(substr(text, 1, 1)) AS first_byte
+       FROM documents""",
+)
+def multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction through the mapInPandas kernel
+    (operators/multimodal.py): opaque blobs + typed metadata in, scalar
+    features out. The decode itself is the deterministic stub (no media
+    libs in this container); the oracle recomputes the stub's features
+    byte-for-byte in SQL, proving the Arrow plumbing is lossless."""
+    from .operators.multimodal import extract_features, media_from_documents
+
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_documents(d)
+    return extract_features(media, decoder="fake").select(
+        "media_id", "n_bytes", "byte_sum_mod", F.col("first_byte").cast("int").alias("first_byte")
+    )
+
+
+# =====================================================================
+# Connected components on star data (oracle-checkable CC!)
+# =====================================================================
+
+@register(
+    "cc_hashmin_components",
+    """SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS id,
+              'customer:' || CAST(o_custkey AS VARCHAR) AS component
+       FROM orders
+       UNION ALL
+       SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id,
+              'customer:' || CAST(c_custkey AS VARCHAR) AS component
+       FROM customer""",
+)
+def cc_hashmin_components(spark, sf_dir):
+    """Hash-min connected components (operators/components.py — the SAME
+    implementation that canonicalizes entities in the KG pipeline) over
+    the orders--customer FK graph. That graph is a disjoint union of
+    stars, so each component's min id is its customer ('customer:' <
+    'order:' lexicographically) — giving an exact SQL oracle for an
+    iterative algorithm."""
+    from .operators.components import connected_components
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    edges = o.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("customer:"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .unionByName(
+            c.select(F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("id"))
+        )
+        .distinct()
+    )
+    return connected_components(vertices, edges).select("id", "component")
+
+
+# materialize the language-hits CTE into the text_lang_id oracle
+ORACLES["text_lang_id"] = ORACLES["text_lang_id"].replace("{HITS}", _sql_lang_hits())

@@ -18,28 +18,33 @@ MINHASH_K_DEFAULT = 48  # 12 bands x 4 rows
 def minhash_signature(shingles: Column, k: int = MINHASH_K_DEFAULT) -> Column:
     """array<bigint> of k minhash values over an array<string> column.
 
-    min over xxhash64(shingle, seed=i) per i in [0, k). Empty shingle
-    sets get the hash of the empty string so the signature is total."""
+    The hash family is ``xxhash64(shingle, i)`` for i in [0, k) — one
+    64-bit hash per (shingle, index) pair. Built as a single nested
+    ``transform`` over ``sequence(0, k-1)`` so the plan carries ONE
+    expression tree; the naive ``F.array(*[... for i in range(k)])``
+    duplicates the whole shingle scan k times in the physical plan and
+    blows up codegen (measured: minutes vs. seconds on tiny inputs).
+    Empty shingle sets hash the empty string so the signature is total."""
     safe = F.when(F.size(shingles) > 0, shingles).otherwise(F.array(F.lit("")))
-    return F.array(
-        *[
-            F.array_min(F.transform(safe, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(k)
-        ]
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(safe, lambda s: F.xxhash64(s, i))),
     )
 
 
 def band_keys(signature: Column, bands: int, rows: int) -> Column:
     """array<bigint> of LSH band keys: hash of each band's row slice,
-    band index mixed in so buckets from different bands never collide."""
-    return F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                F.concat_ws(",", F.transform(F.slice(signature, b * rows + 1, rows), lambda x: x.cast("string"))),
-            )
-            for b in range(bands)
-        ]
+    band index mixed in so buckets from different bands never collide.
+    Single nested transform for the same codegen reason as above."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            b,
+            F.concat_ws(
+                ",",
+                F.transform(F.slice(signature, b * rows + 1, rows), lambda x: x.cast("string")),
+            ),
+        ),
     )
 
 
@@ -50,15 +55,20 @@ def simhash64(tokens_col: Column) -> Column:
     xxhash64 bit j, then take the sign. Pure aggregate expressions via
     higher-order functions (no UDF)."""
     hashed = F.transform(tokens_col, lambda t: F.xxhash64(t))
-    bit_cols = []
-    for j in range(64):
-        # contribution per token: +1 if bit j set else -1
-        contrib = F.aggregate(
+
+    def _contrib(j: int):
+        # NB: bind j via closure, NOT a lambda default — pyspark derives
+        # the higher-order function's arity from the lambda signature.
+        return F.aggregate(
             hashed,
             F.lit(0),
-            lambda acc, h, j=j: acc
+            lambda acc, h: acc
             + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
         )
+
+    bit_cols = []
+    for j in range(64):
+        contrib = _contrib(j)
         # bit 63 is the sign bit of a signed long: use the negative literal
         bit_val = -(1 << 63) if j == 63 else (1 << j)
         bit_cols.append(

@@ -1,0 +1,215 @@
+"""Deduplication family for training-data pipelines (task mandate):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+All variants follow the same scale shape:
+  1. per-row signature (pure Column expressions, JVM-side);
+  2. candidate generation via a blocking key (band hash / chunk /
+     norm-bucket) — turns the O(n^2) pair space into
+     sum-over-blocks O(b^2), shuffled on the block key;
+  3. exact verification on the candidate pairs only.
+
+Verification makes LSH/SimHash *exact* detectors for the configured
+threshold whenever candidate recall is 1.0 — which the pytest suite
+asserts on the fixtures (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import band_keys, hamming64, minhash_signature, simhash64
+from ..functions.text import ngram_shingles, norm_text, tokens
+
+
+# ------------------------------------------------------------- exact
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups via content hash (md5 so SQL oracles can
+    recompute it): one row per duplicated content, with the member ids
+    and the canonical keeper (min id — pysql2neo4j's PK-uniqueness
+    analogue [recon: graphproc.py createConstraints])."""
+    h = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("id").alias("keeper_id"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ------------------------------------------------- shingles & jaccard
+
+def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        ngram_shingles(F.col(text_col), n=n).alias("sh"),
+    )
+
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact word-shingle Jaccard on candidate pairs."""
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.when(union > 0, inter.cast("double") / union).otherwise(0.0), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup via shingle-inverted-index join — the
+    brute-force-but-distributed baseline: explode shingles, equi-join on
+    shingle, count per pair, Jaccard from set sizes. Fully
+    SQL-expressible (oracle-checked); quadratic only within a shingle's
+    posting list, so rare-shingle corpora scale fine while hot shingles
+    need the LSH variant below."""
+    sh = _with_shingles(df, id_col, text_col, n)
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    pairs = (
+        ex.alias("x")
+        .join(ex.alias("y"), "s")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 12,
+    rows: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with exact verification —
+    the scale path: signatures are O(rows x bands) per doc, candidates
+    come from band-bucket equi-joins (shuffle on band hash), and only
+    candidates pay the exact-Jaccard cost. P(candidate | J) =
+    1-(1-J^rows)^bands — 12x4 gives >1-1e-10 at J=0.97."""
+    # localCheckpoint before the self-join: Catalyst's analysis of a
+    # self-join whose both sides carry the nested minhash lambda tree
+    # is super-linear (measured: explain() alone hangs for minutes);
+    # truncating lineage turns each side into a leaf. Same pattern as
+    # MLlib's MinHashLSH, which also materializes signatures first.
+    sh = _with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sig = sh.select(
+        "id", band_keys(minhash_signature(F.col("sh"), k=bands * rows), bands, rows).alias("bk")
+    )
+    buckets = sig.select("id", F.explode("bk").alias("bucket")).localCheckpoint(eager=True)
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _verify_pairs(cand, sh, threshold)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    verify_threshold: float | None = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit token simhash, blocked on the
+    eight 8-bit chunks — by pigeonhole, any pair within hamming<=7 must
+    agree on >=1 chunk, so candidate recall is GUARANTEED up to h=7
+    (near-dup word-salad pairs measure h<=5 on the fixtures) — then
+    verified by hamming distance and (optionally) exact shingle Jaccard.
+    Scale note: 8-bit chunk blocks are big (<=256 distinct values per
+    position); production simhash uses permuted 16-bit tables (Manku et
+    al., WWW'07) — same plan shape, more blocks."""
+    base = df.select(F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("txt"))
+    # lineage cut before the self-join (see minhash_lsh_pairs).
+    sigs = base.select("id", "txt", simhash64(tokens(F.col("txt"))).alias("sim")).localCheckpoint(
+        eager=True
+    )
+    chunks = sigs.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"c{i}:"),
+                    F.shiftrightunsigned(F.col("sim"), i * 8).bitwiseAND(F.lit(0xFF)).cast("string"),
+                )
+                for i in range(8)
+            ])
+        ).alias("chunk"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), "chunk")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            hamming64(F.col("x.sim"), F.col("y.sim")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    if verify_threshold is None:
+        return cand
+    sh = _with_shingles(df, id_col, text_col, n)
+    verified = _verify_pairs(cand.select("id_a", "id_b"), sh, verify_threshold)
+    return verified.join(cand, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard", "hamming")
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Candidate generation buckets on
+    coordinate sign bits (near-identical vectors agree on every stable
+    sign); the exact cosine runs only within buckets. For true ANN-scale
+    recall use operators/similarity.py's IVF path."""
+    from ..functions.vectors import cosine, norm_bucket
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    b = v.withColumn("bucket", norm_bucket(F.col("vec"), n_buckets))
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round(cosine(F.col("x.vec"), F.col("y.vec")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("cos_sim") >= threshold)

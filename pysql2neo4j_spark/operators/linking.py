@@ -90,7 +90,10 @@ def candidate_pairs(
     Blocks larger than ``max_block`` are dropped entirely: a block that
     big is a stopword-like key whose pairs would be quadratic noise; the
     union of the two schemes keeps recall (tests/test_linking.py)."""
-    keys = blocking_keys(forms, bands, rows)
+    # lineage cut before the self-join: both sides would otherwise carry
+    # the nested minhash lambda tree, which Catalyst's self-join
+    # analysis handles super-linearly (see operators/dedup.py).
+    keys = blocking_keys(forms, bands, rows).localCheckpoint(eager=True)
     w = Window.partitionBy("block_key")
     keys = keys.withColumn("__bs", F.count("*").over(w)).filter(F.col("__bs") <= max_block).drop("__bs")
     a = keys.alias("a")
