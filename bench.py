@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus the KG
+pipeline on the cached synthetic transcript corpus, and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": ..., "kg_turns_per_sec": ...}
+
+Query results are forced through the noop sink so the full plan
+(including scan + compute, not count-star shortcuts) executes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+HEADLINE = [
+    "agg_hash",          # TPC-H Q1 shape
+    "join_broadcast",
+    "join_smj",
+    "join_theta_range",
+    "window_rank",
+    "window_analytic",
+    "agg_rollup",
+    "kg_edges_assoc_lineitem",
+    "kg_multihop_chain",
+    "udtf_explode_tokens",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_topk_pandas",
+    "ann_ivf",
+    "text_quality",
+    "stream_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+
+    from pysql2neo4j_spark.entry_queries import QUERIES
+    from pysql2neo4j_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG pipeline on the cached transcript corpus (generated once,
+    # timed from the parquet scan — see build_graph.py).
+    import shutil
+    import tempfile
+
+    from pysql2neo4j_spark.corpus import generate_corpus
+    from pysql2neo4j_spark.plans.pipeline import PipelineConfig, build_graph
+    from pysql2neo4j_spark.schemas import TRANSCRIPT_SCHEMA
+    from pysql2neo4j_spark.sources.transcripts import read_transcripts
+
+    corpus_path = f"/tmp/kg_bench_corpus/n{n_convs}_s42"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        pdf, _ = generate_corpus(n_convs=n_convs, seed=42)
+        spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA).repartition(
+            max(cpus, 8)
+        ).write.mode("overwrite").parquet(corpus_path)
+
+    out = tempfile.mkdtemp(prefix="kg_bench_out_")
+    try:
+        transcripts = read_transcripts(spark, corpus_path)
+        n_turns = transcripts.count()
+        t0 = time.time()
+        build_graph(spark, transcripts, out, PipelineConfig(n_buckets=max(cpus, 8)))
+        kg_sec = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    timings["kg_build"] = kg_sec
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_plus_kg_build",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cores": cpus,
+                "kg_turns": n_turns,
+                "kg_turns_per_sec": round(n_turns / kg_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

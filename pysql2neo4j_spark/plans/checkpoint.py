@@ -69,11 +69,13 @@ class CheckpointManager:
         out.write.mode("append").parquet(self.manifest_path)
 
 
-def partition_metrics(turns_extracted: DataFrame) -> DataFrame:
-    """Per-partition lineage: row count, emitted-triple count, and an
-    order-independent fingerprint of the input rows (XOR of xxhash64)."""
-    return turns_extracted.groupBy("part_key").agg(
+def partition_metrics(turns: DataFrame, triples: DataFrame) -> DataFrame:
+    """Per-partition lineage: input row count, emitted-triple count, and
+    an order-independent fingerprint of the input rows (XOR of
+    xxhash64). ``turns`` and ``triples`` must both carry part_key."""
+    rows = turns.groupBy("part_key").agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.size("extracted.triples")).alias("n_triples"),
         F.hex(F.bit_xor(F.xxhash64("conv_id", "turn_idx", "text"))).alias("input_fingerprint"),
     )
+    tcounts = triples.groupBy("part_key").agg(F.count("*").alias("n_triples"))
+    return rows.join(tcounts, on="part_key", how="left").fillna({"n_triples": 0})

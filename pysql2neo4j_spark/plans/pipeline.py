@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.components import canonical_entities
-from ..operators.extraction import mentions_table, triples_table, with_extraction
+from ..operators.extraction import (
+    extract_mentions_flat,
+    extract_triples_flat,
+    mentions_from_flat,
+    triples_from_flat,
+)
 from ..operators.graph import build_edges, build_nodes, link_mentions
 from ..operators.linking import (
     DEFAULT_BANDS,
@@ -73,23 +78,28 @@ def extract_stage(
         t = ckpt.filter_pending(spark, t, STAGE_EXTRACT)
     t = with_stable_order(t)
 
-    extracted = with_extraction(t).persist()
+    t = t.persist()
     try:
-        n_pending = extracted.count()
+        n_pending = t.count()
         if n_pending > 0:
-            # part_key is a pure function of conv_id — recompute after the
-            # explode instead of joining it back (no shuffle).
-            mentions = with_part_key(mentions_table(extracted), cfg.n_buckets)
-            triples = with_part_key(triples_table(extracted), cfg.n_buckets)
+            # part_key is a pure function of conv_id — recompute after
+            # extraction instead of joining it back (no shuffle).
+            mentions = with_part_key(
+                mentions_from_flat(extract_mentions_flat(t)), cfg.n_buckets
+            )
+            triples = with_part_key(
+                triples_from_flat(extract_triples_flat(t)), cfg.n_buckets
+            ).persist()
             mentions.write.mode("append").partitionBy("part_key").parquet(
                 os.path.join(out_dir, "mentions")
             )
             triples.write.mode("append").partitionBy("part_key").parquet(
                 os.path.join(out_dir, "triples")
             )
-            ckpt.record(partition_metrics(extracted), STAGE_EXTRACT)
+            ckpt.record(partition_metrics(t, triples), STAGE_EXTRACT)
+            triples.unpersist()
     finally:
-        extracted.unpersist()
+        t.unpersist()
 
     m_path = os.path.join(out_dir, "mentions")
     t_path = os.path.join(out_dir, "triples")
