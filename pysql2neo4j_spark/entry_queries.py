@@ -865,12 +865,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + banded LSH with exact verification. The oracle is the
     *exact* Jaccard pair set: LSH must achieve perfect recall at the
-    corpus's J >= 0.97 dup band (P(miss) < 1e-10 at 12x4) — candidate
+    corpus's J >= 0.97 dup band (P(miss) < 1e-12 at 12x2) — candidate
     pruning plus verification makes the approximate path exact."""
     from .operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", n=3, bands=12, rows=4, threshold=0.8)
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, bands=12, rows=2, threshold=0.8)
 
 
 @register("dedup_simhash", _SQL_JACCARD_PAIRS.format(th=0.8))

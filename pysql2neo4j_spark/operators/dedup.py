@@ -22,6 +22,15 @@ from ..functions.hashing import band_keys, hamming64, minhash_signature, simhash
 from ..functions.text import ngram_shingles, norm_text, tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism before CPU-heavy per-row work.
+    The driver fixtures are single-row-group parquet files, which scan
+    as ONE task — on a real cluster the same situation arises with few
+    large unsplittable inputs, and the same explicit repartition (or a
+    smaller files.maxPartitionBytes) is the fix."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # ------------------------------------------------------------- exact
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -29,7 +38,7 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     recompute it): one row per duplicated content, with the member ids
     and the canonical keeper (min id — pysql2neo4j's PK-uniqueness
     analogue [recon: graphproc.py createConstraints])."""
-    h = df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+    h = _spread(df).select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
     return (
         h.groupBy("content_hash")
         .agg(
@@ -44,7 +53,7 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ------------------------------------------------- shingles & jaccard
 
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("id"),
         ngram_shingles(F.col(text_col), n=n).alias("sh"),
     )
@@ -105,7 +114,7 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 3,
     bands: int = 12,
-    rows: int = 4,
+    rows: int = 2,
     threshold: float = 0.8,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs with exact verification —
@@ -149,7 +158,7 @@ def simhash_pairs(
     Scale note: 8-bit chunk blocks are big (<=256 distinct values per
     position); production simhash uses permuted 16-bit tables (Manku et
     al., WWW'07) — same plan shape, more blocks."""
-    base = df.select(F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("txt"))
+    base = _spread(df).select(F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("txt"))
     # lineage cut before the self-join (see minhash_lsh_pairs).
     sigs = base.select("id", "txt", simhash64(tokens(F.col("txt"))).alias("sim")).localCheckpoint(
         eager=True

@@ -93,6 +93,14 @@ def candidate_pairs(
     # lineage cut before the self-join: both sides would otherwise carry
     # the nested minhash lambda tree, which Catalyst's self-join
     # analysis handles super-linearly (see operators/dedup.py).
+    # Lineage cut on the DISTINCT FORMS as well as the keys: without it,
+    # InferFiltersFromGenerate derives `size(band_keys(minhash(...)))>0`
+    # from the explode and predicate pushdown moves it BELOW the distinct
+    # aggregate — re-evaluating the whole minhash expression on every raw
+    # mention row (measured: 320s instead of 2s at 430k mentions; the
+    # rule is also excluded session-wide in session.py). Forms are
+    # dim-sized, so the checkpoint is cheap.
+    forms = forms.localCheckpoint(eager=True)
     keys = blocking_keys(forms, bands, rows).localCheckpoint(eager=True)
     w = Window.partitionBy("block_key")
     keys = keys.withColumn("__bs", F.count("*").over(w)).filter(F.col("__bs") <= max_block).drop("__bs")

@@ -54,6 +54,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # deterministic shuffle behavior for the text-equality invariant tests
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # InferFiltersFromGenerate duplicates the generator input as a
+        # size()>0 filter; for our heavy nested-lambda signature arrays
+        # (minhash bands, simhash chunks) that doubles — and after
+        # pushdown through aggregates, multiplies — the most expensive
+        # expression in the plan. Our generators never produce empty
+        # arrays, so the inferred filter only costs.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
