@@ -1,0 +1,107 @@
+"""Streaming ingest + windowed aggregation over the transcript/event
+schemas.
+
+Design: every streaming query here is the *same declarative plan* as a
+batch counterpart in entry_queries.py (``stream_tumbling`` /
+``stream_session``), so correctness is checked two ways:
+  * batch mode vs the DuckDB oracle (driver gate);
+  * streaming mode vs batch mode on identical input
+    (tests/test_streaming.py) — the append-mode output after all
+    watermarks close must equal the batch result.
+
+At 10^12-turn scale the ingest source becomes Kafka/Iceberg CDC; the
+plan (watermark -> window agg -> append sink) is unchanged — only
+``readStream.format`` moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(spark: SparkSession, path: str,
+                           max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source streaming read of the transcript table (explicit
+    schema — streaming sources never infer).
+
+    ``ts`` is cast TIMESTAMP_NTZ -> TIMESTAMP: Spark's event-time
+    watermarks only accept timezone-aware timestamps, and the session
+    timezone is pinned UTC (session.py) so the instant is unchanged."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def tumbling_turn_counts(stream: DataFrame, window: str = "1 hour",
+                         watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window turn counts per role."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
+def session_conversations(stream: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Session windows per conv_id (gap-based) — conversation spans."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "conv_id")
+        .agg(F.count("*").alias("n_turns"), F.max("turn_idx").alias("max_turn"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "conv_id",
+            "n_turns",
+            "max_turn",
+        )
+    )
+
+
+def streaming_dedup_turns(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exactly-once turn dedup within the watermark: replays of
+    (conv_id, turn_idx) from an at-least-once source are dropped — the
+    streaming analogue of the reference's PK uniqueness constraint
+    [recon: graphproc.py createConstraints]."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def run_to_completion(query_df: DataFrame, out_mode: str = "append",
+                      name: str = "stream_out") -> DataFrame:
+    """Drive a streaming DataFrame over a finite file source to
+    completion via the memory sink; returns the materialized result as a
+    batch DataFrame. Test/bench harness only — production uses a real
+    sink with checkpointLocation."""
+    import time
+
+    q = (
+        query_df.writeStream.outputMode(out_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # one more settle round: the watermark bump from the final data
+        # batch emits closed windows via a no-data micro-batch that
+        # processAllAvailable does not always wait for.
+        time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return query_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,68 @@
+"""Hash-min connected components vs a pure-python union-find oracle —
+property-style over seeded random graphs (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import random
+
+from pysql2neo4j_spark.operators.components import connected_components
+
+
+def _union_find_oracle(vertices, edges):
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in vertices}
+
+
+def _check(spark, vertices, edges):
+    vdf = spark.createDataFrame([(v,) for v in vertices], ["id"])
+    edf = spark.createDataFrame(edges or [("__none__", "__none__")], ["src", "dst"])
+    if not edges:
+        edf = edf.filter("src <> src")  # empty
+    got = {r.id: r.component for r in connected_components(vdf, edf).collect()}
+    want = _union_find_oracle(vertices, edges)
+    assert got == want
+
+
+def test_cc_random_graphs(spark):
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = 60
+        vertices = [f"v{i:03d}" for i in range(n)]
+        edges = [
+            (vertices[rng.randrange(n)], vertices[rng.randrange(n)])
+            for _ in range(rng.randrange(10, 80))
+        ]
+        _check(spark, vertices, edges)
+
+
+def test_cc_path_graph_converges(spark):
+    """A long path is hash-min's worst case (O(diameter) supersteps)."""
+    n = 24
+    vertices = [f"p{i:03d}" for i in range(n)]
+    edges = [(vertices[i], vertices[i + 1]) for i in range(n - 1)]
+    _check(spark, vertices, edges)
+
+
+def test_cc_no_edges_singletons(spark):
+    vertices = [f"s{i}" for i in range(10)]
+    _check(spark, vertices, [])
+
+
+def test_cc_min_label_is_component_id(spark):
+    vdf = spark.createDataFrame([("b",), ("a",), ("c",), ("z",)], ["id"])
+    edf = spark.createDataFrame([("b", "c"), ("c", "a")], ["src", "dst"])
+    got = dict(
+        (r.id, r.component) for r in connected_components(vdf, edf).collect()
+    )
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}

@@ -1,0 +1,90 @@
+"""Entity linking (B8-B13): blocking recall, scoring margins, top-1."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pysql2neo4j_spark.corpus import build_gazetteer, normalize_surface
+from pysql2neo4j_spark.operators.extraction import extract_mentions_flat, mentions_from_flat
+from pysql2neo4j_spark.operators.linking import (
+    candidate_pairs,
+    distinct_forms,
+    link_candidates,
+    score_pairs,
+    top1_links,
+)
+
+
+def test_candidate_recall_connects_every_entity(spark, transcripts_df):
+    """After blocking + scoring, every entity whose aliases appear in
+    the corpus must form a single connected component (checked with a
+    pure-python union-find oracle over the verified edges)."""
+    mentions = mentions_from_flat(extract_mentions_flat(transcripts_df))
+    forms, edges = link_candidates(mentions)
+    norms_seen = {r.norm for r in forms.collect()}
+    edge_list = [(r.norm_a, r.norm_b) for r in edges.collect()]
+
+    parent = {n: n for n in norms_seen}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    norm2ent = {
+        normalize_surface(a): e.key for e in build_gazetteer() for a in e.aliases
+    }
+    ent_components: dict[str, set] = {}
+    comp_entities: dict[str, set] = {}
+    for n in norms_seen:
+        ent_components.setdefault(norm2ent[n], set()).add(find(n))
+        comp_entities.setdefault(find(n), set()).add(norm2ent[n])
+    split = {e for e, cs in ent_components.items() if len(cs) > 1}
+    merged = {c for c, es in comp_entities.items() if len(es) > 1}
+    assert not split, f"entities split: {sorted(split)[:5]}"
+    assert not merged, f"entities merged: {sorted(merged)[:5]}"
+
+
+def test_block_cap_drops_stopword_blocks(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"norm": [f"common {i}" for i in range(200)], "n_mentions": 1})
+    forms = spark.createDataFrame(pdf)
+    cand = candidate_pairs(forms, max_block=64)
+    # the 'tok:common' block (200 members) must be dropped; pairs only
+    # come from band/pfx/sfx blocks
+    assert cand.count() < 200 * 199 / 2
+
+
+def test_top1_links_deterministic(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "norm_a": ["x", "x", "x", "y"],
+            "norm_b": ["p", "q", "r", "p"],
+            "score": [0.9, 0.9, 0.8, 0.7],
+        }
+    )
+    links = top1_links(spark.createDataFrame(pdf), by="norm_a").collect()
+    got = {(r.norm_a, r.norm_b) for r in links}
+    # tie at 0.9 broken by partner norm ascending -> p
+    assert got == {("x", "p"), ("y", "p")}
+
+
+def test_scoring_threshold_boundaries(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"norm_a": ["ada lovelace", "queryforge"], "norm_b": ["a lovelace", "brightware"]}
+    )
+    scored = score_pairs(spark.createDataFrame(pdf), threshold=0.0).collect()
+    by_pair = {(r.norm_a, r.norm_b): r.score for r in scored}
+    assert by_pair[("ada lovelace", "a lovelace")] >= 0.9
+    assert by_pair[("queryforge", "brightware")] < 0.3

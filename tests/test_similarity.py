@@ -1,0 +1,83 @@
+"""Similarity search: JVM and Arrow paths agree with a numpy oracle;
+IVF/LSH recall sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pysql2neo4j_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_pandas,
+    ivf_topk,
+    sign_lsh_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def numpy_topk(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qmask = ids < 10
+    S = Xn[~qmask] @ Xn[qmask].T
+    cids = ids[~qmask]
+    out = {}
+    for qi, qid in enumerate(ids[qmask]):
+        scores = np.round(S[:, qi], 6)
+        order = sorted(zip(-scores, cids), key=lambda t: (t[0], t[1]))[:5]
+        out[qid] = [(int(c), float(-s)) for s, c in order]
+    return out
+
+
+def _got(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, []).append((r.rnk, r.neighbor_id, r.score))
+    return {q: [(n, s) for _, n, s in sorted(v)] for q, v in out.items()}
+
+
+def test_brute_force_matches_numpy(emb, numpy_topk):
+    got = _got(brute_force_topk(emb.filter("vec_id >= 10"), emb.filter("vec_id < 10"), k=5))
+    for q, want in numpy_topk.items():
+        assert [n for n, _ in got[q]] == [n for n, _ in want]
+        assert all(abs(a[1] - b[1]) < 1e-6 for a, b in zip(got[q], want))
+
+
+def test_pandas_kernel_matches_jvm_path(emb):
+    qpdf = emb.filter("vec_id < 10").select("vec_id", "embedding").toPandas()
+    a = _got(brute_force_topk(emb.filter("vec_id >= 10"), emb.filter("vec_id < 10"), k=5))
+    b = _got(brute_force_topk_pandas(emb.filter("vec_id >= 10"), qpdf, k=5))
+    assert a == b
+
+
+def test_sign_lsh_subset_of_bucket(emb):
+    got = sign_lsh_topk(emb.filter("vec_id >= 10"), emb.filter("vec_id < 10"), k=5, n_bits=2)
+    assert got.groupBy("query_id").count().filter("count > 5").count() == 0
+    assert got.count() > 0
+
+
+def test_ivf_recall_sanity(emb, numpy_topk):
+    """IVF probing 4 of 16 lists scans ~25% of the corpus; on isotropic
+    random 64-dim vectors (no cluster structure — IVF's worst case)
+    recall must still clearly beat the 25% random-scan baseline because
+    probes align with the query direction. Measured 0.46 on the fixture;
+    floor set between baseline and measurement."""
+    got = _got(ivf_topk(emb.filter("vec_id >= 10"), emb.filter("vec_id < 10"),
+                        k=5, n_centroids=16, n_probe=4))
+    hits = total = 0
+    for q, want in numpy_topk.items():
+        wn = {n for n, _ in want}
+        gn = {n for n, _ in got.get(q, [])}
+        hits += len(wn & gn)
+        total += len(wn)
+    assert hits / total >= 0.35
