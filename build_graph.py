@@ -59,6 +59,10 @@ def main() -> int:
     transcripts = read_transcripts(spark, input_path)
     n_turns = transcripts.count()
 
+    from pysql2neo4j_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
+
     cfg = PipelineConfig(n_buckets=args.buckets or max(cores, 8))
     t0 = time.time()
     res = build_graph(spark, transcripts, args.out, cfg, resume=not args.no_resume)

@@ -409,3 +409,97 @@ def triples_from_flat(flat: DataFrame) -> DataFrame:
             F.lit("ts"), F.col("ts").cast("string"),
         ).alias("qualifiers"),
     )
+
+
+# ---------------------------------------------------------------------
+# Single-pass staging extractor: mentions AND triples from ONE scan.
+#
+# The two flat kernels above each pay a full decode+regex pass over the
+# corpus; at bench scale that doubles the dominant cost. The staging
+# kernel emits a union schema (row_type 'm'|'t') in one pass; parquet
+# column pruning makes the downstream per-table filters ~free.
+# ---------------------------------------------------------------------
+
+STAGED_SCHEMA = _T.StructType(
+    [
+        _T.StructField("row_type", _T.StringType(), False),
+        _T.StructField("conv_id", _T.StringType(), True),
+        _T.StructField("turn_idx", _T.IntegerType(), True),
+        _T.StructField("role", _T.StringType(), True),
+        _T.StructField("tool", _T.StringType(), True),
+        _T.StructField("ts", _T.TimestampNTZType(), True),
+        _T.StructField("surface", _T.StringType(), True),
+        _T.StructField("norm", _T.StringType(), True),
+        _T.StructField("start", _T.IntegerType(), True),
+        _T.StructField("end", _T.IntegerType(), True),
+        _T.StructField("subj_surface", _T.StringType(), True),
+        _T.StructField("pred", _T.StringType(), True),
+        _T.StructField("obj_surface", _T.StringType(), True),
+        _T.StructField("subj_start", _T.IntegerType(), True),
+        _T.StructField("obj_start", _T.IntegerType(), True),
+    ]
+)
+
+_STAGED_COLS = [f.name for f in STAGED_SCHEMA.fields]
+
+
+def extract_all_flat(turns: DataFrame) -> DataFrame:
+    """One mapInPandas crossing emitting mention rows ('m') and triple
+    rows ('t') together (the pipeline hot path — see plans/pipeline.py)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sents = _sentences(pdf)
+            rel = _match_relations(sents)
+            frames = []
+            if len(rel):
+                t = rel[["conv_id", "turn_idx", "tool", "ts", "subj_surface", "pred",
+                         "obj_surface", "subj_start", "obj_start"]].copy()
+                t["row_type"] = "t"
+                frames.append(t)
+                for side, start_col in (("subj_surface", "subj_start"), ("obj_surface", "obj_start")):
+                    m = rel[["conv_id", "turn_idx", "role"]].copy()
+                    m["surface"] = rel[side]
+                    m["start"] = rel[start_col]
+                    m["row_type"] = "m"
+                    frames.append(m)
+            mo = _match_mention_only(sents, _relation_claim_mask(sents))
+            if len(mo):
+                m = mo[["conv_id", "turn_idx", "role"]].copy()
+                m["surface"] = mo["surface"]
+                m["start"] = mo["start"]
+                m["row_type"] = "m"
+                frames.append(m)
+            if not frames:
+                continue
+            out = pd.concat(frames, ignore_index=True)
+            msel = out["row_type"] == "m"
+            out.loc[msel, "norm"] = _normalize(out.loc[msel, "surface"])
+            out.loc[msel, "end"] = out.loc[msel, "start"] + out.loc[msel, "surface"].str.len()
+            for c in _STAGED_COLS:
+                if c not in out:
+                    out[c] = None
+            for c in ("turn_idx", "start", "end", "subj_start", "obj_start"):
+                out[c] = out[c].astype("Int32")
+            yield out[_STAGED_COLS]
+
+    return turns.mapInPandas(kernel, schema=STAGED_SCHEMA)
+
+
+def mentions_from_staged(staged: DataFrame) -> DataFrame:
+    return mentions_from_flat(
+        staged.filter(F.col("row_type") == "m").select(
+            "conv_id", "turn_idx", "role", "surface", "norm", "start", "end"
+        )
+    )
+
+
+def triples_from_staged(staged: DataFrame) -> DataFrame:
+    return triples_from_flat(
+        staged.filter(F.col("row_type") == "t").select(
+            "conv_id", "turn_idx", "tool", "ts", "subj_surface", "pred",
+            "obj_surface", "subj_start", "obj_start"
+        )
+    )

@@ -39,9 +39,12 @@ from ..functions.text import adaptive_containment, char_shingles
 # Separation margins measured over the full gazetteer (tests/test_linking.py):
 # max cross-entity pair score = 0.600, min within-entity best-bridge = 0.667.
 DEFAULT_THRESHOLD = 0.63
-# 24 bands x 2 rows: P(candidate | J=0.6) > 0.9999 — typo aliases of a
-# single-token name share no full token, so band recall must carry them.
-DEFAULT_BANDS = 24
+# 12 bands x 2 rows: P(candidate | J=0.6) > 0.99 — and the deterministic
+# token/prefix/suffix blocks already connect every gazetteer entity on
+# their own (tests/test_linking.py), so bands are redundancy, not the
+# recall path. k=24 halves the dominant fixed cost of the band branch
+# (codegen + interpreted lambda evaluation of the signature).
+DEFAULT_BANDS = 12
 DEFAULT_ROWS = 2
 DEFAULT_MAX_BLOCK = 64
 
@@ -52,7 +55,12 @@ def distinct_forms(mentions: DataFrame) -> DataFrame:
 
 
 def blocking_keys(forms: DataFrame, bands: int = DEFAULT_BANDS, rows: int = DEFAULT_ROWS) -> DataFrame:
-    """(norm, block_key) pairs from token blocks ∪ minhash LSH bands."""
+    """(norm, block_key) pairs from token blocks ∪ minhash LSH bands.
+
+    ``forms`` MUST carry a materialized ``sh`` (char-shingles) column —
+    passing the shingle *expression* instead would get inlined into
+    every one of the k minhash lambdas by CollapseProject and evaluated
+    ~2k times per row interpreted (measured: 31s for 253 rows vs 80ms)."""
     tok = forms.select(
         "norm",
         F.explode(F.split(F.col("norm"), " ")).alias("t"),
@@ -71,7 +79,7 @@ def blocking_keys(forms: DataFrame, bands: int = DEFAULT_BANDS, rows: int = DEFA
 
     sig = forms.select(
         "norm",
-        band_keys(minhash_signature(char_shingles(F.col("norm")), k=bands * rows), bands, rows).alias("bk"),
+        band_keys(minhash_signature(F.col("sh"), k=bands * rows), bands, rows).alias("bk"),
     )
     band = sig.select("norm", F.explode("bk").alias("bkey")).select(
         "norm", F.concat(F.lit("band:"), F.col("bkey").cast("string")).alias("block_key")
@@ -99,8 +107,10 @@ def candidate_pairs(
     # aggregate — re-evaluating the whole minhash expression on every raw
     # mention row (measured: 320s instead of 2s at 430k mentions; the
     # rule is also excluded session-wide in session.py). Forms are
-    # dim-sized, so the checkpoint is cheap.
-    forms = forms.localCheckpoint(eager=True)
+    # dim-sized, so the checkpoint is cheap. The shingle array is
+    # materialized INTO the checkpoint so the minhash lambdas reference a
+    # stored column, not an inlinable expression (see blocking_keys).
+    forms = forms.withColumn("sh", char_shingles(F.col("norm"))).localCheckpoint(eager=True)
     keys = blocking_keys(forms, bands, rows).localCheckpoint(eager=True)
     w = Window.partitionBy("block_key")
     keys = keys.withColumn("__bs", F.count("*").over(w)).filter(F.col("__bs") <= max_block).drop("__bs")

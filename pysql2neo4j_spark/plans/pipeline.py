@@ -29,10 +29,10 @@ from pyspark.sql import types as T
 
 from ..operators.components import canonical_entities
 from ..operators.extraction import (
-    extract_mentions_flat,
-    extract_triples_flat,
-    mentions_from_flat,
-    triples_from_flat,
+    STAGED_SCHEMA,
+    extract_all_flat,
+    mentions_from_staged,
+    triples_from_staged,
 )
 from ..operators.graph import build_edges, build_nodes, link_mentions
 from ..operators.linking import (
@@ -79,38 +79,44 @@ def extract_stage(
     t = with_stable_order(t)
 
     t = t.persist()
+    staged_path = os.path.join(out_dir, "extracted")
     try:
         n_pending = t.count()
         if n_pending > 0:
-            # part_key is a pure function of conv_id — recompute after
-            # extraction instead of joining it back (no shuffle).
-            mentions = with_part_key(
-                mentions_from_flat(extract_mentions_flat(t)), cfg.n_buckets
+            # ONE extraction pass: mentions + triples staged together
+            # (union schema, row_type discriminator); part_key is a pure
+            # function of conv_id — recomputed, never joined back.
+            staged = with_part_key(extract_all_flat(t), cfg.n_buckets)
+            # FLAT files, part_key as a column: a dynamic-partition
+            # (partitionBy) write above a Python-kernel plan measured
+            # 10x the flat write (50.7s vs 5.1s for the same rows — the
+            # planned-write sort re-materializes the kernel output);
+            # resume correctness comes from the manifest, not the
+            # directory layout, and the real partition-pruned layout is
+            # the Iceberg path of the writer seam.
+            staged.write.mode("append").parquet(staged_path)
+            staged_new = spark.read.schema(_staged_with_key()).parquet(staged_path)
+            ckpt.record(
+                partition_metrics(t, staged_new.filter(F.col("row_type") == "t")),
+                STAGE_EXTRACT,
             )
-            triples = with_part_key(
-                triples_from_flat(extract_triples_flat(t)), cfg.n_buckets
-            ).persist()
-            mentions.write.mode("append").partitionBy("part_key").parquet(
-                os.path.join(out_dir, "mentions")
-            )
-            triples.write.mode("append").partitionBy("part_key").parquet(
-                os.path.join(out_dir, "triples")
-            )
-            ckpt.record(partition_metrics(t, triples), STAGE_EXTRACT)
-            triples.unpersist()
     finally:
         t.unpersist()
 
-    m_path = os.path.join(out_dir, "mentions")
-    t_path = os.path.join(out_dir, "triples")
-    if not os.path.exists(m_path):  # nothing extracted yet (empty input)
-        from ..schemas import MENTIONS_SCHEMA, TRIPLES_SCHEMA
+    if not os.path.exists(staged_path):  # nothing extracted yet (empty input)
+        staged_all = spark.createDataFrame([], schema=_staged_with_key())
+    else:
+        staged_all = spark.read.schema(_staged_with_key()).parquet(staged_path)
+    # part_key is a pure function of conv_id — recompute, never join.
+    mentions = with_part_key(mentions_from_staged(staged_all), cfg.n_buckets)
+    triples = with_part_key(triples_from_staged(staged_all), cfg.n_buckets)
+    return mentions, triples
 
-        return (
-            spark.createDataFrame([], schema=MENTIONS_SCHEMA).withColumn("part_key", F.lit(0)),
-            spark.createDataFrame([], schema=TRIPLES_SCHEMA).withColumn("part_key", F.lit(0)),
-        )
-    return spark.read.parquet(m_path), spark.read.parquet(t_path)
+
+def _staged_with_key() -> T.StructType:
+    return T.StructType(
+        STAGED_SCHEMA.fields + [T.StructField("part_key", T.IntegerType(), True)]
+    )
 
 
 def precision_recall(

@@ -70,3 +70,25 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+    """Fork + import the Arrow Python workers on every core before
+    timing-sensitive work. Worker processes are reused across stages
+    (spark.python.worker.reuse), so paying the fork + pandas import once
+    here keeps it out of the measured section — the local-mode analogue
+    of cluster executor warmup."""
+    from pyspark.sql import functions as F
+
+    n = n or spark.sparkContext.defaultParallelism
+
+    # no type annotations: `from __future__ import annotations` makes
+    # them strings pyspark cannot resolve with pandas imported locally
+    def _identity(s):
+        return s
+
+    _noop = F.pandas_udf(_identity, "long")
+
+    spark.range(0, n * 100, 1, n).select(_noop(F.col("id")).alias("x")).agg(
+        F.count("x")
+    ).collect()
