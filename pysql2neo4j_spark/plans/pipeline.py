@@ -153,6 +153,18 @@ def build_graph(
     nodes = build_nodes(linked)
     edges = build_edges(triples, form2entity, n_salts=cfg.n_salts)
 
+    # links IR (FIXTURES.md §C): mention -> canonical entity with the
+    # verification-style similarity between the mention's norm and the
+    # canonical representative (rank 1 — assignment is exact by norm).
+    from ..functions.text import adaptive_containment
+
+    links = linked.select(
+        "mention_id",
+        F.col("entity_id").alias("entity_key"),
+        F.round(adaptive_containment(F.col("norm"), F.col("entity_id")), 6).alias("score"),
+        F.lit(1).alias("rank"),
+    )
+
     write_bucketed(nodes, os.path.join(out_dir, "nodes"), "entity_id",
                    n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
     write_bucketed(edges, os.path.join(out_dir, "edges"), "src_entity",
@@ -172,6 +184,7 @@ def build_graph(
     return {
         "mentions": mentions,
         "triples": triples,
+        "links": links,
         "form2entity": form2entity,
         "nodes": nodes_out,
         "edges": edges_out,

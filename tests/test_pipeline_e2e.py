@@ -77,3 +77,13 @@ def test_metrics_lineage_recorded(spark, transcripts_df, tmp_out):
     assert sum(r.n_rows for r in rows) == transcripts_df.count()
     assert all(r.input_fingerprint for r in rows)
     assert sum(r.n_triples for r in rows) > 0
+
+
+def test_links_ir_table(spark, transcripts_df, tmp_out):
+    res = build_graph(spark, transcripts_df, tmp_out, PipelineConfig())
+    links = res["links"]
+    assert links.columns == ["mention_id", "entity_key", "score", "rank"]
+    n_mentions = res["mentions"].count()
+    assert links.count() == n_mentions
+    bad = links.filter("score <= 0 OR score > 1 OR rank <> 1").count()
+    assert bad == 0
