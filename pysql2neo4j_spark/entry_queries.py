@@ -755,10 +755,34 @@ def stream_tumbling(spark, sf_dir):
     )
 
 
-@register("stream_session")  # session windows: no robust SQL oracle -> rows-only
+@register(
+    "stream_session",
+    """WITH marked AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ),
+       sess AS (
+         SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM marked
+       )
+       SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+              CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+              user_id,
+              CAST(count(*) AS BIGINT) AS n_events
+       FROM sess GROUP BY user_id, sid""",
+)
 def stream_session(spark, sf_dir):
     """Session windows (30 min gap) per user — the batch session_window
-    operator; streaming variant lives in streaming/ingest.py."""
+    operator; streaming variant lives in streaming/ingest.py. The oracle
+    replays Spark's session semantics (new session when the gap to the
+    previous event is >= 30 min; window end = last event + gap) as a
+    gaps-and-islands SQL."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes"), "user_id")

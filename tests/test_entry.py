@@ -42,7 +42,7 @@ def test_registry_consistency():
     assert len(q) >= 40
     assert set(o) <= set(q)
     # rows-only keys are deliberate, enumerated exceptions
-    assert set(q) - set(o) == {"agg_approx", "stream_session"}
+    assert set(q) - set(o) == {"agg_approx"}
 
 
 @pytest.mark.parametrize("key", SMOKE_KEYS)
