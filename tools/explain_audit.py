@@ -1,0 +1,79 @@
+"""Plan-hygiene audit: .explain("formatted") every registered query and
+assert the physical properties the 100 TB design depends on —
+predicate pushdown reaching the parquet scan, column-pruned
+ReadSchemas, broadcast joins where a dim side exists, whole-stage
+codegen coverage, and no row-at-a-time Python anywhere.
+
+Usage: python tools/explain_audit.py [key ...]   (default: audited set)
+Writes a summary table to stdout; non-zero exit on any violated
+expectation.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+
+# key -> properties we insist on in the physical plan
+EXPECTATIONS: dict[str, list[str]] = {
+    "scan_project": ["PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity", "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double>"],
+    "filter_pred": ["PushedFilters:", "BETWEEN_PROXY"],
+    "join_broadcast": ["BroadcastHashJoin", "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size"],
+    "join_salted_skew": ["BroadcastHashJoin"],
+    "join_semi": ["Semi"],
+    "join_anti": ["Anti"],
+    "agg_hash": ["HashAggregate", "PushedFilters:"],
+    "window_rank": ["Window", "WindowGroupLimit"],  # rank<=3 pushed below the shuffle
+    "sort_limit_topk": ["TakeOrderedAndProject"],
+    "kg_edges_assoc_lineitem": ["BroadcastHashJoin"],
+    "kg_multihop_chain": ["BroadcastHashJoin"],
+    "udf_pandas_scalar": ["ArrowEvalPython"],
+    "udaf_grouped_agg": ["ArrowAggregatePython"],
+    "ann_topk_exact": ["BroadcastNestedLoopJoin"],
+    "multimodal_features": ["MapInPandas"],
+}
+
+FORBIDDEN_EVERYWHERE = ["BatchEvalPython"]  # row-at-a-time Python UDF
+
+
+def main() -> int:
+    sys.path.insert(0, ".")
+    from pysql2neo4j_spark.entry_queries import QUERIES
+    from pysql2neo4j_spark.session import get_spark
+
+    sf_dir = "/root/testdata/sf0.001"
+    only = set(sys.argv[1:]) or set(EXPECTATIONS)
+    spark = get_spark(app_name="explain_audit", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_fail = 0
+    for key in sorted(only):
+        df = QUERIES[key](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        problems = []
+        for want in EXPECTATIONS.get(key, []):
+            if want == "BETWEEN_PROXY":
+                # BETWEEN pushes as >= and <=
+                if not re.search(r"GreaterThanOrEqual\(o_totalprice", plan):
+                    problems.append("BETWEEN not pushed to scan")
+                continue
+            if want not in plan:
+                problems.append(f"missing: {want[:60]}")
+        for bad in FORBIDDEN_EVERYWHERE:
+            if bad in plan:
+                problems.append(f"forbidden: {bad}")
+        if problems:
+            n_fail += 1
+            print(f"FAIL {key}: " + "; ".join(problems))
+        else:
+            print(f"PASS {key}")
+    spark.stop()
+    print(f"\n{n_fail} failures / {len(only)} plans audited")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
