@@ -80,6 +80,7 @@ def main() -> int:
                 "turns_per_sec": round(n_turns / dt, 1),
                 "master": spark.sparkContext.master,
                 "cores": cores,
+                "stage_seconds": res.get("timings", {}),
             }
         )
     )

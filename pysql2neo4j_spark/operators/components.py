@@ -1,5 +1,6 @@
-"""B14/B15 — iterative hash-min connected components, DataFrame-only,
-checkpointed per superstep [BASELINE.json:6].
+"""B14/B15 — iterative hash-min connected components with pointer-jump
+path compression, DataFrame-only, checkpointed per superstep
+[BASELINE.json:6].
 
 Reference analogue: pysql2neo4j's "same PK => same node" uniqueness
 [recon: graphproc.py createConstraints] — here node identity must be
@@ -8,29 +9,48 @@ one canonical entity, labeled by the minimum vertex id (a string norm,
 so min == lexicographic min — directly comparable to the frozen
 reference's min-alias-norm representative).
 
-Algorithm: label propagation to the neighborhood minimum —
-  labels(v) <- min(labels(v), min over neighbors u of labels(u))
-iterated to fixpoint; converges in O(graph diameter) supersteps, and
-every superstep is a pure union+groupBy+min, i.e. shuffle-parallel at
-any scale.
+Algorithm (hash-min + path halving, the DataFrame form of the
+large-star/small-star shortcutting idea):
+  propagate:  labels(v) <- min(labels(v), min over neighbors u of labels(u))
+  compress:   labels(v) <- min(labels(v), prev_labels(labels(v)))
+iterated to fixpoint. Propagation alone needs O(graph diameter)
+supersteps; the compression join halves the remaining pointer distance
+each round, so convergence is O(log diameter) — a 300-hop alias chain
+closes in ~10 supersteps instead of 300 (tests/test_components.py).
+Labels only decrease and stay within the component (every label is a
+vertex id first seen via a path), so the fixpoint is the component
+minimum, exactly as plain hash-min.
 
 Engineering notes (this is the ONLY driver-controlled loop in the
 engine — SURVEY.md §4.3):
   * ``localCheckpoint(eager=True)`` per superstep truncates lineage
     (else the plan doubles every iteration);
-  * change detection is FUSED into the superstep aggregate (the old
-    label rides along in the same groupBy), so the convergence check is
-    a count over the just-checkpointed frame — no extra join, no
-    recompute;
-  * ``n_partitions`` sizes the superstep shuffles: label frames are
-    usually dim-sized (distinct norms), so the default caps at 8 —
-    pass more for genuinely huge vertex sets.
+  * the convergence check is FUSED into the checkpoint job via
+    ``Observation`` (CollectMetrics in the same plan): ONE Spark job
+    per superstep, no separate count — this is driver fixed cost F in
+    the N->4N scaling decomposition (BENCH/BASELINE.md), so job count
+    matters more than per-job work here;
+  * the compression join's right side is the PREVIOUS superstep's
+    labels — already checkpointed, so the join adds no recompute;
+  * non-convergence RAISES (``ConvergenceError``) instead of silently
+    returning split components — wrong canonical ids must never be
+    produced quietly;
+  * ``n_partitions`` sizes the superstep shuffles; the default scales
+    with the input frame (capped by the session parallelism). Callers
+    with known-small label frames (the pipeline's vocabulary-sized
+    distinct-norm graph) should pass a small explicit value so the
+    per-superstep fixed cost stays low.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """Raised when the superstep loop exhausts max_iter with labels
+    still changing — the labels would be WRONG (split components)."""
 
 
 def connected_components(
@@ -46,9 +66,17 @@ def connected_components(
 
     vertices: one column ``vertex_col`` (distinct ids).
     edges: undirected, given as (src, dst) pairs (any orientation).
+    Raises ConvergenceError if not converged within ``max_iter``.
     """
     spark = vertices.sparkSession
-    n_parts = n_partitions or min(spark.sparkContext.defaultParallelism, 4)
+    if n_partitions is None:
+        # input-sized, capped by session parallelism: a 100x corpus gets
+        # 100x partitions automatically instead of a hardcoded 4.
+        n_partitions = max(
+            4,
+            min(vertices.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism),
+        )
+    n_parts = n_partitions
 
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -64,14 +92,16 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = 0
     for _ in range(max_iter):
+        # -- propagate: min label over self + neighborhood
         nbr = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"),
             F.col("component"),
             F.lit(None).cast("string").alias("old"),
         )
         mine = labels.select("id", "component", F.col("component").alias("old"))
-        new_labels = (
+        prop = (
             mine.unionByName(nbr)
             .groupBy("id")
             .agg(
@@ -79,13 +109,41 @@ def connected_components(
                 # 'old' is non-null exactly once per id (its own row)
                 F.max("old").alias("old"),
             )
-            .withColumn("changed", F.col("component") != F.col("old"))
-            .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter("changed").count()  # on checkpointed data
-        labels = new_labels.select("id", "component")
+        # -- compress: jump through the previous labels (checkpointed,
+        # so this join re-reads cached blocks, not the plan above).
+        # Every label is a vertex id, so the lookup always resolves;
+        # left+coalesce guards the invariant instead of silently
+        # dropping rows if it were ever violated.
+        jump = labels.select(F.col("id").alias("j_id"), F.col("component").alias("j_comp"))
+        new_plan = (
+            prop.join(jump, prop["component"] == jump["j_id"], "left")
+            .select(
+                prop["id"],
+                F.least(
+                    prop["component"], F.coalesce(F.col("j_comp"), prop["component"])
+                ).alias("component"),
+                prop["old"],
+            )
+        )
+        obs = Observation()
+        observed = new_plan.withColumn(
+            "changed", F.col("component") != F.col("old")
+        ).observe(obs, F.sum(F.col("changed").cast("long")).alias("n_changed"))
+        labels = (
+            observed.select("id", "component")
+            .repartition(n_parts, "id")
+            .localCheckpoint(eager=True)  # the ONE job of this superstep
+        )
+        changed = obs.get["n_changed"] or 0
         if changed == 0:
             break
+    if changed:
+        raise ConvergenceError(
+            f"connected_components did not converge in {max_iter} supersteps "
+            f"({changed} labels still changing); raise max_iter — returning "
+            "these labels would silently split components"
+        )
     return labels
 
 

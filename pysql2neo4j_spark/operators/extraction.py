@@ -271,8 +271,16 @@ def _sentences(pdf: pd.DataFrame) -> pd.DataFrame:
     return sents.reset_index(drop=True)
 
 
-def _match_relations(sents: pd.DataFrame) -> pd.DataFrame:
-    """All relation matches: columns of ``sents`` + subj/pred/obj/offsets.
+def _match_relations(sents: pd.DataFrame) -> tuple[pd.DataFrame, pd.Series]:
+    """All relation matches + the claim mask, from ONE regex pass.
+
+    Returns ``(rel, claimed)`` where ``rel`` has the columns of
+    ``sents`` + subj/pred/obj/offsets and ``claimed`` marks (indexed
+    like ``sents``) every sentence a relation pattern consumed — the
+    mention-only templates must skip those (first-match-wins, as the
+    frozen oracle). Returning the mask here removes the duplicated
+    prefilter+regex pass the old ``_relation_claim_mask`` re-ran over
+    the same sentences in the hot kernel.
 
     A plain-substring ``contains`` prefilter (SIMD memmem, no regex)
     gates each anchored extract: most sentences match no predicate, so
@@ -300,10 +308,11 @@ def _match_relations(sents: pd.DataFrame) -> pd.DataFrame:
         h["obj_start"] = h["subj_start"] + h["subj_surface"].str.len() + len(phrase) + 2
         parts.append(h)
     if not parts:
-        return sents.iloc[0:0].assign(
+        empty = sents.iloc[0:0].assign(
             subj_surface="", obj_surface="", pred="", subj_start=0, obj_start=0
         )
-    return pd.concat(parts, ignore_index=True)
+        return empty, claimed
+    return pd.concat(parts, ignore_index=True), claimed
 
 
 def _match_mention_only(sents: pd.DataFrame, claimed_rel: pd.Series) -> pd.DataFrame:
@@ -326,19 +335,6 @@ def _match_mention_only(sents: pd.DataFrame, claimed_rel: pd.Series) -> pd.DataF
     return pd.concat(parts, ignore_index=True)
 
 
-def _relation_claim_mask(sents: pd.DataFrame) -> pd.Series:
-    claimed = pd.Series(False, index=sents.index)
-    sent_col = sents["sent"]
-    for pred, (_st, _ot, phrase) in PREDICATES.items():
-        cand = sent_col.str.contains(f" {phrase} ", regex=False) & ~claimed
-        if not cand.any():
-            continue
-        pat = r"^(.+?) " + _re.escape(phrase) + r" (.+?)[.?]$"
-        exact = sent_col[cand].str.match(pat)
-        claimed.loc[exact.index[exact]] = True
-    return claimed
-
-
 def extract_mentions_flat(turns: DataFrame) -> DataFrame:
     """B6 flat path: one mapInPandas crossing, mention rows out."""
 
@@ -347,8 +343,8 @@ def extract_mentions_flat(turns: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             sents = _sentences(pdf)
-            rel = _match_relations(sents)
-            mo = _match_mention_only(sents, _relation_claim_mask(sents))
+            rel, claimed = _match_relations(sents)
+            mo = _match_mention_only(sents, claimed)
             frames = []
             for side, start_col in (("subj_surface", "subj_start"), ("obj_surface", "obj_start")):
                 if len(rel):
@@ -381,7 +377,7 @@ def extract_triples_flat(turns: DataFrame) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            rel = _match_relations(_sentences(pdf))
+            rel, _claimed = _match_relations(_sentences(pdf))
             if not len(rel):
                 continue
             out = rel[
@@ -468,7 +464,7 @@ def extract_all_flat(turns: DataFrame) -> DataFrame:
             if len(pdf) == 0:
                 continue
             sents = _sentences(pdf)
-            rel = _match_relations(sents)
+            rel, claimed = _match_relations(sents)
             frames = []
             if len(rel):
                 t = rel[["conv_id", "turn_idx", "tool", "ts", "subj_surface", "pred",
@@ -481,7 +477,7 @@ def extract_all_flat(turns: DataFrame) -> DataFrame:
                     m["start"] = rel[start_col]
                     m["row_type"] = "m"
                     frames.append(m)
-            mo = _match_mention_only(sents, _relation_claim_mask(sents))
+            mo = _match_mention_only(sents, claimed)
             if len(mo):
                 m = mo[["conv_id", "turn_idx", "role"]].copy()
                 m["surface"] = mo["surface"]

@@ -70,8 +70,29 @@ def build_edges(triples: DataFrame, form2entity: DataFrame, n_salts: int = 16) -
     )
     t = salted_broadcast_join(triples, subj_map, key="subj_norm", salt_on="subj_mention", n_salts=n_salts)
     t = salted_broadcast_join(t, obj_map, key="obj_norm", salt_on="obj_mention", n_salts=n_salts)
-    return t.groupBy("src_entity", "dst_entity", "pred").agg(
+    base = t.groupBy("src_entity", "dst_entity", "pred").agg(
         F.count("*").alias("n_obs"),
         F.min("ts").alias("first_ts"),
-        F.slice(F.sort_array(F.collect_set("conv_id")), 1, PROVENANCE_CAP).alias("provenance"),
+    )
+    # Provenance = first PROVENANCE_CAP distinct conv_ids in sorted
+    # order, bounded BEFORE any collect: a naive
+    # slice(sort_array(collect_set(conv_id)), 1, cap) buffers EVERY
+    # distinct conv_id of a hot edge in one aggregation state (the hot
+    # entity is ~30% of mentions — millions of strings per buffer at
+    # 10^12 turns). Here dropDuplicates dedups map-side with bounded
+    # per-group hash state, the row_number window is a spillable sort,
+    # and collect_list never sees more than PROVENANCE_CAP rows.
+    keys = ["src_entity", "dst_entity", "pred"]
+    wp = Window.partitionBy(*keys).orderBy("conv_id")
+    prov = (
+        t.select(*keys, "conv_id")
+        .dropDuplicates()
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= PROVENANCE_CAP)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("conv_id")).alias("provenance"))
+    )
+    # both sides come out of aggregates on the same keys (co-partitioned)
+    return base.join(prov, on=keys, how="left").select(
+        *keys, "n_obs", "first_ts", "provenance"
     )

@@ -37,6 +37,11 @@ class CheckpointManager:
         self.root = root
         self.manifest_path = os.path.join(root, MANIFEST_DIR)
 
+    def exists(self) -> bool:
+        """True iff any manifest commit exists (cheap driver-side check
+        — lets a fresh run skip the resume probes entirely)."""
+        return os.path.exists(self.manifest_path)
+
     def manifest(self, spark: SparkSession) -> DataFrame:
         if not os.path.exists(self.manifest_path):
             return spark.createDataFrame([], schema=CHECKPOINT_SCHEMA)
@@ -55,18 +60,37 @@ class CheckpointManager:
         done = self.completed_keys(spark, stage)
         return df.join(F.broadcast(done), on="part_key", how="left_anti")
 
-    def record(self, metrics: DataFrame, stage: str) -> None:
+    def record(self, metrics: DataFrame, stage: str, run_dir: str | None = None) -> None:
         """Append manifest rows. ``metrics`` must have columns
-        (part_key, n_rows, n_triples, input_fingerprint)."""
+        (part_key, n_rows, n_triples, input_fingerprint). ``run_dir``
+        names the staged-data subdirectory these partitions were written
+        to — committing it here is what makes that data visible."""
         out = metrics.select(
             F.lit(stage).alias("stage"),
             F.col("part_key").cast("int").alias("partition_key"),
             F.col("n_rows").cast("long"),
             F.col("n_triples").cast("long"),
             F.col("input_fingerprint").cast("string"),
+            F.lit(run_dir).cast("string").alias("run_dir"),
             F.current_timestamp().cast("timestamp_ntz").alias("committed_at"),
         )
         out.write.mode("append").parquet(self.manifest_path)
+
+    def committed_run_dirs(self, spark: SparkSession, stage: str) -> list[str]:
+        """Distinct staged subdirectories committed for ``stage`` —
+        the ONLY directories a reader may open (crash-orphaned data
+        stays invisible). Manifest is partition-count-sized: collecting
+        it is bounded."""
+        if not self.exists():
+            return []
+        rows = (
+            self.manifest(spark)
+            .filter((F.col("stage") == stage) & F.col("run_dir").isNotNull())
+            .select("run_dir")
+            .distinct()
+            .collect()
+        )
+        return sorted(r.run_dir for r in rows)
 
 
 def partition_metrics(turns: DataFrame, triples: DataFrame) -> DataFrame:

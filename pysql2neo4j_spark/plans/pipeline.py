@@ -21,6 +21,8 @@ per-table CSV export + periodic-commit import); the graph-global stages
 from __future__ import annotations
 
 import os
+import time
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +61,10 @@ class PipelineConfig:
     max_block: int = DEFAULT_MAX_BLOCK
     threshold: float = DEFAULT_THRESHOLD
     catalog: str = "parquet"     # "iceberg" when a runtime jar is present
+    # CC runs over DISTINCT NORMS (vocabulary-sized, sublinear in corpus
+    # size) — a small explicit partition count keeps each superstep job's
+    # fixed cost low; components.py defaults to input-sized otherwise.
+    cc_partitions: int = 4
 
 
 def extract_stage(
@@ -70,43 +76,62 @@ def extract_stage(
 ) -> tuple[DataFrame, DataFrame]:
     """Checkpointed extraction: returns (mentions, triples) read back
     from the stage store (so downstream sees ALL partitions, including
-    ones committed by a previous, partially-failed run)."""
+    ones committed by a previous, partially-failed run).
+
+    Atomicity (ADVICE r1): each run writes its staged rows into a fresh
+    ``run-<uuid>`` subdirectory and only then commits that subdirectory
+    name into the manifest. Readers open ONLY manifest-referenced run
+    dirs, so a crash in the window between the staged write and the
+    manifest commit leaves invisible orphan data — the retry re-extracts
+    those partitions into a new run dir with no duplicates."""
     ckpt = CheckpointManager(out_dir)
+    staged_root = os.path.join(out_dir, "extracted")
     t = with_part_key(transcripts, cfg.n_buckets)
-    t = t.repartition(cfg.n_buckets, "part_key")
-    if resume:
+    if resume and ckpt.exists():
         t = ckpt.filter_pending(spark, t, STAGE_EXTRACT)
-    t = with_stable_order(t)
+        # column-pruned probe: short-circuits on the first pending row;
+        # only a fully-resumed run pays a pruned scan here (the old
+        # persist+count paid a full cached pass on EVERY run).
+        has_pending = not t.select("part_key").isEmpty()
+    else:
+        has_pending = True  # fresh run: no manifest, no probe job
 
-    t = t.persist()
-    staged_path = os.path.join(out_dir, "extracted")
-    try:
-        n_pending = t.count()
-        if n_pending > 0:
-            # ONE extraction pass: mentions + triples staged together
-            # (union schema, row_type discriminator); part_key is a pure
-            # function of conv_id — recomputed, never joined back.
-            staged = with_part_key(extract_all_flat(t), cfg.n_buckets)
-            # FLAT files, part_key as a column: a dynamic-partition
-            # (partitionBy) write above a Python-kernel plan measured
-            # 10x the flat write (50.7s vs 5.1s for the same rows — the
-            # planned-write sort re-materializes the kernel output);
-            # resume correctness comes from the manifest, not the
-            # directory layout, and the real partition-pruned layout is
-            # the Iceberg path of the writer seam.
-            staged.write.mode("append").parquet(staged_path)
-            staged_new = spark.read.schema(_staged_with_key()).parquet(staged_path)
-            ckpt.record(
-                partition_metrics(t, staged_new.filter(F.col("row_type") == "t")),
-                STAGE_EXTRACT,
-            )
-    finally:
-        t.unpersist()
+    if has_pending:
+        ordered = with_stable_order(t.repartition(cfg.n_buckets, "part_key"))
+        # ONE extraction pass: mentions + triples staged together
+        # (union schema, row_type discriminator); part_key is a pure
+        # function of conv_id — recomputed, never joined back.
+        staged = with_part_key(extract_all_flat(ordered), cfg.n_buckets)
+        # FLAT files, part_key as a column: a dynamic-partition
+        # (partitionBy) write above a Python-kernel plan measured
+        # 10x the flat write (50.7s vs 5.1s for the same rows — the
+        # planned-write sort re-materializes the kernel output);
+        # resume correctness comes from the manifest, not the
+        # directory layout, and the real partition-pruned layout is
+        # the Iceberg path of the writer seam.
+        run_dir = f"run-{uuid.uuid4().hex[:12]}"
+        staged.write.mode("errorifexists").parquet(os.path.join(staged_root, run_dir))
+        staged_new = spark.read.schema(_staged_with_key()).parquet(
+            os.path.join(staged_root, run_dir)
+        )
+        # lineage metrics re-scan only the 3 input columns JVM-side (the
+        # extraction pass above is the only full-text Python crossing)
+        ckpt.record(
+            partition_metrics(
+                t.select("part_key", "conv_id", "turn_idx", "text"),
+                staged_new.filter(F.col("row_type") == "t"),
+            ),
+            STAGE_EXTRACT,
+            run_dir=run_dir,
+        )
 
-    if not os.path.exists(staged_path):  # nothing extracted yet (empty input)
+    run_dirs = ckpt.committed_run_dirs(spark, STAGE_EXTRACT)
+    if not run_dirs:  # nothing extracted yet (empty input)
         staged_all = spark.createDataFrame([], schema=_staged_with_key())
     else:
-        staged_all = spark.read.schema(_staged_with_key()).parquet(staged_path)
+        staged_all = spark.read.schema(_staged_with_key()).parquet(
+            *[os.path.join(staged_root, d) for d in run_dirs]
+        )
     # part_key is a pure function of conv_id — recompute, never join.
     mentions = with_part_key(mentions_from_staged(staged_all), cfg.n_buckets)
     triples = with_part_key(triples_from_staged(staged_all), cfg.n_buckets)
@@ -139,15 +164,27 @@ def build_graph(
     cfg: PipelineConfig | None = None,
     resume: bool = True,
 ) -> dict[str, DataFrame]:
-    """Run the full pipeline; returns the materialized tables."""
+    """Run the full pipeline; returns the materialized tables plus a
+    ``timings`` dict (wall seconds per eager phase — the feedback loop
+    for the N->4N scaling decomposition in BENCH/BASELINE.md)."""
     cfg = cfg or PipelineConfig()
+    timings: dict[str, float] = {}
+    t0 = time.time()
     mentions, triples = extract_stage(spark, transcripts, out_dir, cfg, resume=resume)
+    timings["extract"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
     forms, form_edges = link_candidates(
         mentions, bands=cfg.bands, rows=cfg.rows,
         max_block=cfg.max_block, threshold=cfg.threshold,
     )
-    form2entity = canonical_entities(forms, form_edges)
+    timings["link_prep"] = round(time.time() - t0, 3)
+    # eager work in this phase: distinct-forms agg + candidate self-join
+    # + scoring (they materialize inside CC's first checkpoint) and the
+    # CC superstep loop itself.
+    t0 = time.time()
+    form2entity = canonical_entities(forms, form_edges, n_partitions=cfg.cc_partitions)
+    timings["cc"] = round(time.time() - t0, 3)
 
     linked = link_mentions(mentions, form2entity, n_salts=cfg.n_salts)
     nodes = build_nodes(linked)
@@ -165,10 +202,14 @@ def build_graph(
         F.lit(1).alias("rank"),
     )
 
+    t0 = time.time()
     write_bucketed(nodes, os.path.join(out_dir, "nodes"), "entity_id",
                    n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
+    timings["write_nodes"] = round(time.time() - t0, 3)
+    t0 = time.time()
     write_bucketed(edges, os.path.join(out_dir, "edges"), "src_entity",
                    n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
+    timings["write_edges"] = round(time.time() - t0, 3)
 
     # read back with explicit schemas (an empty write leaves no footer
     # to infer from; the pipeline never relies on inference anyway)
@@ -188,4 +229,5 @@ def build_graph(
         "form2entity": form2entity,
         "nodes": nodes_out,
         "edges": edges_out,
+        "timings": timings,
     }

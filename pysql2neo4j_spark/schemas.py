@@ -109,6 +109,12 @@ CHECKPOINT_SCHEMA = T.StructType(
         T.StructField("n_rows", T.LongType(), False),
         T.StructField("n_triples", T.LongType(), False),
         T.StructField("input_fingerprint", T.StringType(), False),
+        # the staged-data subdirectory this commit refers to: readers
+        # only ever open manifest-referenced run dirs, so data written
+        # by a run that crashed BEFORE its manifest commit is invisible
+        # (no duplicate rows on resume — the write+record pair behaves
+        # atomically).
+        T.StructField("run_dir", T.StringType(), True),
         T.StructField("committed_at", T.TimestampNTZType(), False),
     ]
 )

@@ -5,7 +5,12 @@ from __future__ import annotations
 
 import random
 
-from pysql2neo4j_spark.operators.components import connected_components
+import pytest
+
+from pysql2neo4j_spark.operators.components import (
+    ConvergenceError,
+    connected_components,
+)
 
 
 def _union_find_oracle(vertices, edges):
@@ -57,6 +62,34 @@ def test_cc_path_graph_converges(spark):
 def test_cc_no_edges_singletons(spark):
     vertices = [f"s{i}" for i in range(10)]
     _check(spark, vertices, [])
+
+
+def test_cc_long_path_log_rounds(spark):
+    """Pointer-jump compression makes deep chains O(log diameter):
+    a 300-hop path must close well inside 12 supersteps (plain hash-min
+    would need 299)."""
+    n = 300
+    vertices = [f"q{i:04d}" for i in range(n)]
+    edges = [(vertices[i], vertices[i + 1]) for i in range(n - 1)]
+    vdf = spark.createDataFrame([(v,) for v in vertices], ["id"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.id: r.component
+        for r in connected_components(vdf, edf, max_iter=12).collect()
+    }
+    assert got == {v: vertices[0] for v in vertices}
+
+
+def test_cc_nonconvergence_raises(spark):
+    """Exhausting max_iter with labels still moving must RAISE, never
+    return silently-wrong (split) components."""
+    n = 64
+    vertices = [f"r{i:03d}" for i in range(n)]
+    edges = [(vertices[i], vertices[i + 1]) for i in range(n - 1)]
+    vdf = spark.createDataFrame([(v,) for v in vertices], ["id"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(ConvergenceError):
+        connected_components(vdf, edf, max_iter=2)
 
 
 def test_cc_min_label_is_component_id(spark):

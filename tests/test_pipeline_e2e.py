@@ -57,6 +57,35 @@ def test_resume_equals_single_run(spark, transcripts_df, tmp_out):
     assert a == b
 
 
+def test_crash_before_manifest_commit_no_duplicates(
+    spark, transcripts_df, tmp_out, monkeypatch
+):
+    """ADVICE r1: a crash AFTER the staged write commits but BEFORE the
+    manifest record must not double-count on resume. Staged data lives
+    in per-run subdirectories that only become visible via the manifest,
+    so the orphaned write is ignored and the retry re-extracts cleanly."""
+    import pytest
+
+    cfg = PipelineConfig(n_buckets=8)
+
+    def boom(self, metrics, stage, run_dir=None):
+        raise RuntimeError("simulated crash between staged write and manifest commit")
+
+    monkeypatch.setattr(CheckpointManager, "record", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        build_graph(spark, transcripts_df, tmp_out, cfg)
+    monkeypatch.undo()
+
+    res = build_graph(spark, transcripts_df, tmp_out, cfg)  # retry
+    res_clean = build_graph(spark, transcripts_df, tmp_out + "_clean", cfg)
+    # row-exact: duplicated staged rows would inflate mention counts and
+    # edge n_obs
+    assert res["mentions"].count() == res_clean["mentions"].count()
+    a = sorted(map(tuple, res["edges"].drop("part_key").collect()))
+    b = sorted(map(tuple, res_clean["edges"].drop("part_key").collect()))
+    assert a == b
+
+
 def test_edges_carry_provenance_and_counts(spark, transcripts_df, tmp_out):
     res = build_graph(spark, transcripts_df, tmp_out, PipelineConfig())
     e = res["edges"]
