@@ -55,6 +55,17 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the session before timing (VERDICT r1): the first query was
+    # absorbing JVM/codegen/Python-worker/scan warmup (~2s), overstating
+    # whichever query ran first. One untimed cheap pass per table +
+    # worker fork keeps the per-query numbers about the queries.
+    from pysql2neo4j_spark.session import warm_python_workers
+    from pysql2neo4j_spark.sources.star import load_table
+
+    warm_python_workers(spark)
+    for tbl in ("lineitem", "orders", "customer", "part", "embeddings", "documents"):
+        load_table(spark, sf_dir, tbl).limit(1).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

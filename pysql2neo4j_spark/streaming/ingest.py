@@ -89,6 +89,7 @@ def run_to_completion(query_df: DataFrame, out_mode: str = "append",
     sink with checkpointLocation."""
     import time
 
+    spark = query_df.sparkSession
     q = (
         query_df.writeStream.outputMode(out_mode)
         .format("memory")
@@ -97,11 +98,19 @@ def run_to_completion(query_df: DataFrame, out_mode: str = "append",
     )
     try:
         q.processAllAvailable()
-        # one more settle round: the watermark bump from the final data
-        # batch emits closed windows via a no-data micro-batch that
-        # processAllAvailable does not always wait for.
-        time.sleep(0.5)
-        q.processAllAvailable()
+        # settle: the final watermark bump emits closed windows via a
+        # no-data micro-batch that processAllAvailable does not always
+        # wait for. A single fixed sleep is flaky on a loaded machine —
+        # poll until the sink row count is stable across consecutive
+        # processAllAvailable rounds (bounded retries).
+        prev = -1
+        for _ in range(20):
+            cur = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0].n
+            if cur == prev:
+                break
+            prev = cur
+            time.sleep(0.25)
+            q.processAllAvailable()
     finally:
         q.stop()
-    return query_df.sparkSession.sql(f"SELECT * FROM {name}")
+    return spark.sql(f"SELECT * FROM {name}")

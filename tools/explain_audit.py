@@ -37,18 +37,14 @@ EXPECTATIONS: dict[str, list[str]] = {
 FORBIDDEN_EVERYWHERE = ["BatchEvalPython"]  # row-at-a-time Python UDF
 
 
-def main() -> int:
-    sys.path.insert(0, ".")
+def audit(spark, keys=None, sf_dir: str = "/root/testdata/sf0.001") -> dict[str, list[str]]:
+    """Explain every audited query and return {key: [problems]} (empty
+    lists mean PASS). Reusable from pytest (tests/test_explain_audit.py)
+    so a plan-hygiene regression fails CI, not just this manual tool."""
     from pysql2neo4j_spark.entry_queries import QUERIES
-    from pysql2neo4j_spark.session import get_spark
 
-    sf_dir = "/root/testdata/sf0.001"
-    only = set(sys.argv[1:]) or set(EXPECTATIONS)
-    spark = get_spark(app_name="explain_audit", master="local[4]")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    n_fail = 0
-    for key in sorted(only):
+    results: dict[str, list[str]] = {}
+    for key in sorted(keys or EXPECTATIONS):
         df = QUERIES[key](spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -65,6 +61,21 @@ def main() -> int:
         for bad in FORBIDDEN_EVERYWHERE:
             if bad in plan:
                 problems.append(f"forbidden: {bad}")
+        results[key] = problems
+    return results
+
+
+def main() -> int:
+    sys.path.insert(0, ".")
+    from pysql2neo4j_spark.session import get_spark
+
+    only = set(sys.argv[1:]) or set(EXPECTATIONS)
+    spark = get_spark(app_name="explain_audit", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = audit(spark, keys=only)
+    n_fail = 0
+    for key, problems in results.items():
         if problems:
             n_fail += 1
             print(f"FAIL {key}: " + "; ".join(problems))
