@@ -1066,24 +1066,56 @@ def ann_sign_lsh(spark, sf_dir):
     )
 
 
-@register(
-    "ann_ivf",
-    """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS centv
-                     FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
+import functools as _functools  # noqa: E402
+
+
+@_functools.lru_cache(maxsize=8)
+def _ivf_centroids(sf_dir: str) -> tuple:
+    """Deterministic k-means centroids for the IVF index, trained
+    driver-side on the (bounded) corpus sample — the standard IVF
+    recipe: train the coarse quantizer on a sample, keep assignment /
+    probing / scoring distributed (operators/similarity.py). Cached per
+    sf_dir; pyarrow read sorted by vec_id so the result is independent
+    of file layout."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .operators.similarity import train_ivf_centroids
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pdf = t.to_pandas().sort_values("vec_id")
+    pdf = pdf[pdf["vec_id"] >= 10]  # corpus side only (queries are vec_id < 10)
+    X = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+    return tuple(tuple(c) for c in train_ivf_centroids(X, k=16, seed=42, iters=5))
+
+
+def _ivf_oracle_sql(sf_dir: str) -> str:
+    """ann_ivf oracle with the trained centroids inlined as literals —
+    repr() round-trips each double exactly, so DuckDB parses the same
+    binary values Spark gets via createDataFrame."""
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in c)}]::DOUBLE[])"
+        for i, c in enumerate(_ivf_centroids(sf_dir))
+    )
+    return f"""WITH cent AS (SELECT * FROM (VALUES {cent_rows}) AS t(centroid_id, centv)),
        c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
        assigned AS (
          SELECT neighbor_id, cv, centroid_id FROM (
            SELECT neighbor_id, cv, centroid_id,
                   row_number() OVER (PARTITION BY neighbor_id
-                                     ORDER BY round(list_cosine_similarity(CAST(cv AS DOUBLE[]), CAST(centv AS DOUBLE[])), 6) DESC,
+                                     ORDER BY round(list_cosine_similarity(CAST(cv AS DOUBLE[]), centv), 6) DESC,
                                               centroid_id) AS rn
            FROM c CROSS JOIN cent) WHERE rn = 1),
        probes AS (
          SELECT query_id, qv, centroid_id FROM (
            SELECT query_id, qv, centroid_id,
                   row_number() OVER (PARTITION BY query_id
-                                     ORDER BY round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(centv AS DOUBLE[])), 6) DESC,
+                                     ORDER BY round(list_cosine_similarity(CAST(qv AS DOUBLE[]), centv), 6) DESC,
                                               centroid_id) AS rn
            FROM q CROSS JOIN cent) WHERE rn <= 4),
        scored AS (
@@ -1094,19 +1126,35 @@ def ann_sign_lsh(spark, sf_dir):
        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                           ORDER BY score DESC, neighbor_id) AS rnk
              FROM scored)
-       WHERE rnk <= 5""",
-)
+       WHERE rnk <= 5"""
+
+
+@register("ann_ivf")
 def ann_ivf(spark, sf_dir):
     """IVF ANN (inverted-file): corpus assigned to nearest of 16
-    centroids, queries probe 4 lists. Every stage (assignment, probe
-    selection, scoring) is deterministic and replicated in the oracle."""
+    TRAINED centroids (deterministic seeded spherical k-means —
+    operators/similarity.train_ivf_centroids), queries probe 4 lists.
+    Every stage (training, assignment, probe selection, scoring) is
+    deterministic and replicated in the oracle, which embeds the same
+    centroids as literals."""
     from .operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     return ivf_topk(
         e.filter(F.col("vec_id") >= 10), e.filter(F.col("vec_id") < 10),
         k=5, n_centroids=16, n_probe=4,
+        centroids=[list(c) for c in _ivf_centroids(sf_dir)],
     )
+
+
+# the oracle needs the trained centroid literals; the driver's DuckDB
+# views point at sf0.01 (the contract's correctness scale). If the
+# fixture dir is absent (foreign environment) the key degrades to the
+# rows-only check instead of breaking import.
+try:
+    ORACLES["ann_ivf"] = _ivf_oracle_sql("/root/testdata/sf0.01")
+except Exception:  # noqa: BLE001
+    ORACLES.pop("ann_ivf", None)
 
 
 # =====================================================================

@@ -132,6 +132,43 @@ def sign_lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    X, k: int = 16, seed: int = 42, iters: int = 5
+) -> list[list[float]]:
+    """Deterministic spherical k-means (cosine) over a bounded training
+    sample — numpy only, fixed seed, fixed iteration count, sequential
+    reductions, so the same bytes in always give the same centroids out
+    (the oracle SQL embeds them as literals).
+
+    Scale note: this runs DRIVER-SIDE on a bounded sample (<=100k
+    vectors is plenty — the standard IVF practice: faiss trains coarse
+    quantizers on a sample too); the expensive parts (corpus->centroid
+    assignment, probing, scoring) stay distributed in ``ivf_topk``.
+    Replaces the round-1 first-N-by-id stand-in whose centroids were
+    degenerate on id-correlated corpora (ADVICE r1)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype="float64")
+    n = len(X)
+    k = min(k, n)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = Xn[rng.choice(n, size=k, replace=False)]
+    for _ in range(iters):
+        # argmax takes the FIRST max -> deterministic tie-break on index
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 1e-12:
+                    C[j] = m / nm
+    # round so the SQL literal and the Spark literal are the same short
+    # decimal (repr round-trips doubles exactly on both engines)
+    return [[float(round(v, 6)) for v in row] for row in C]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -141,17 +178,28 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: deterministic centroids = the first
-    ``n_centroids`` corpus vectors by id (seeded-sample stand-in; a real
-    deployment would k-means them — same plan shape). Corpus vectors are
-    assigned to their nearest centroid (one broadcast score pass);
-    queries probe their ``n_probe`` nearest centroid lists only."""
-    cent = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv"))
-    )
+    """IVF (inverted-file) ANN: corpus vectors are assigned to their
+    nearest centroid (one broadcast score pass); queries probe their
+    ``n_probe`` nearest centroid lists only.
+
+    ``centroids``: trained centroid vectors (``train_ivf_centroids``) —
+    the quality path. When omitted, falls back to a deterministic
+    seeded hash-sample of corpus vectors (better than first-N-by-id on
+    id-correlated corpora, still untrained)."""
+    spark = corpus.sparkSession
+    if centroids is not None:
+        cent = spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+            "centroid_id INT, centv ARRAY<DOUBLE>",
+        )
+    else:
+        cent = (
+            corpus.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv"))
+        )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("sim"), "centroid_id")
     assigned = (

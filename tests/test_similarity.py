@@ -81,3 +81,48 @@ def test_ivf_recall_sanity(emb, numpy_topk):
         hits += len(wn & gn)
         total += len(wn)
     assert hits / total >= 0.35
+
+
+def test_train_ivf_centroids_deterministic():
+    """Same bytes in -> same centroids out (the oracle embeds them as
+    SQL literals, so any nondeterminism would break the driver gate)."""
+    from pysql2neo4j_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(200, 16))
+    a = train_ivf_centroids(X, k=8, seed=3, iters=5)
+    b = train_ivf_centroids(X.copy(), k=8, seed=3, iters=5)
+    assert a == b
+    assert len(a) == 8 and len(a[0]) == 16
+
+
+def test_ivf_trained_recall_on_planted_clusters(spark):
+    """VERDICT r1 #4: with TRAINED centroids, IVF probing a single list
+    must recover >=0.9 of the exact top-5 on cluster-structured data
+    (the fallback sampled centroids are the degraded path, not this)."""
+    from pysql2neo4j_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16)) * 5.0
+    corpus_rows, vid = [], 100
+    for c in centers:
+        for _ in range(50):
+            corpus_rows.append((vid, (c + rng.normal(size=16) * 0.1).tolist()))
+            vid += 1
+    query_rows = [
+        (qi, (centers[qi % 4] + rng.normal(size=16) * 0.1).tolist()) for qi in range(8)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    queries = spark.createDataFrame(query_rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    cents = train_ivf_centroids(np.array([r[1] for r in corpus_rows]), k=4, seed=42, iters=5)
+    approx = _got(ivf_topk(corpus, queries, k=5, n_probe=1, centroids=cents))
+    exact = _got(brute_force_topk(corpus, queries, k=5))
+
+    hits = total = 0
+    for q, want in exact.items():
+        wn = {n for n, _ in want}
+        gn = {n for n, _ in approx.get(q, [])}
+        hits += len(wn & gn)
+        total += len(wn)
+    assert hits / total >= 0.9, hits / total
