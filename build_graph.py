@@ -34,6 +34,11 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--buckets", type=int, default=None, help="conv-hash partitions")
+    ap.add_argument(
+        "--dry-run", action="store_true",
+        help="print the physical plan of every stage, run nothing, write nothing "
+             "(A16 offline-mode analogue)",
+    )
     args = ap.parse_args()
 
     from pysql2neo4j_spark.corpus import generate_corpus
@@ -57,6 +62,17 @@ def main() -> int:
         ap.error("--input or --gen required")
 
     transcripts = read_transcripts(spark, input_path)
+
+    if args.dry_run:
+        from pysql2neo4j_spark.plans.dryrun import explain_pipeline
+
+        cfg = PipelineConfig(n_buckets=args.buckets or max(cores, 8))
+        for stage, plan in explain_pipeline(spark, transcripts, cfg).items():
+            print(f"\n{'=' * 72}\n== DRY RUN plan: {stage}\n{'=' * 72}\n{plan}")
+        print(json.dumps({"dry_run": True, "out": args.out, "files_written": 0}))
+        spark.stop()
+        return 0
+
     n_turns = transcripts.count()
 
     from pysql2neo4j_spark.session import warm_python_workers

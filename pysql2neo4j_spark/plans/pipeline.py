@@ -157,22 +157,20 @@ def precision_recall(
     return precision, recall
 
 
-def build_graph(
+def materialize_graph(
     spark: SparkSession,
-    transcripts: DataFrame,
+    mentions: DataFrame,
+    triples: DataFrame,
     out_dir: str,
-    cfg: PipelineConfig | None = None,
-    resume: bool = True,
+    cfg: PipelineConfig,
+    timings: dict[str, float] | None = None,
 ) -> dict[str, DataFrame]:
-    """Run the full pipeline; returns the materialized tables plus a
-    ``timings`` dict (wall seconds per eager phase — the feedback loop
-    for the N->4N scaling decomposition in BENCH/BASELINE.md)."""
-    cfg = cfg or PipelineConfig()
-    timings: dict[str, float] = {}
-    t0 = time.time()
-    mentions, triples = extract_stage(spark, transcripts, out_dir, cfg, resume=resume)
-    timings["extract"] = round(time.time() - t0, 3)
-
+    """The graph-global tail of the pipeline (linking -> CC -> canonical
+    ids -> node/edge materialization), shared by the batch plan
+    (``build_graph``) and the streaming bridge
+    (``streaming.bridge.finalize_stream_graph``) — both feed it the same
+    checkpointed mentions/triples IR."""
+    timings = {} if timings is None else timings
     t0 = time.time()
     forms, form_edges = link_candidates(
         mentions, bands=cfg.bands, rows=cfg.rows,
@@ -231,3 +229,21 @@ def build_graph(
         "edges": edges_out,
         "timings": timings,
     }
+
+
+def build_graph(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns the materialized tables plus a
+    ``timings`` dict (wall seconds per eager phase — the feedback loop
+    for the N->4N scaling decomposition in BENCH/BASELINE.md)."""
+    cfg = cfg or PipelineConfig()
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    mentions, triples = extract_stage(spark, transcripts, out_dir, cfg, resume=resume)
+    timings["extract"] = round(time.time() - t0, 3)
+    return materialize_graph(spark, mentions, triples, out_dir, cfg, timings=timings)

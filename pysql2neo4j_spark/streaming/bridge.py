@@ -1,0 +1,124 @@
+"""Streaming -> KG bridge (VERDICT r1 #8): feed watermark-deduped
+transcript turns through the SAME extraction kernel and checkpoint
+manifest the batch pipeline uses, incrementally, then finalize the
+graph from the accumulated staged IR.
+
+Design: ``foreachBatch`` is the standard exactly-once micro-batch sink
+shape — each micro-batch runs ``extract_all_flat`` (one Arrow crossing)
+and commits a staged run directory named by its DETERMINISTIC batch id
+(``stream-b<batch_id>``). Idempotence under foreachBatch's
+at-least-once replay contract:
+  * a replayed batch whose run dir is already in the manifest is
+    skipped (the commit is the manifest row, exactly as the batch
+    pipeline's run-dir protocol — plans/checkpoint.py);
+  * a replayed batch that crashed in the write/commit window re-writes
+    its run dir with mode=overwrite and commits once.
+
+At 10^12-turn scale the file source becomes Kafka/Iceberg CDC and this
+sink is unchanged; graph finalization (linking/CC/materialize) runs on
+whatever cadence the user wants — it reads only manifest-committed
+staged data, so it can run while ingest continues.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extraction import extract_all_flat
+from ..operators.ordering import with_stable_order
+from ..plans.checkpoint import CheckpointManager, partition_metrics, with_part_key
+from ..plans.pipeline import (
+    PipelineConfig,
+    _staged_with_key,
+    materialize_graph,
+)
+
+STAGE_STREAM = "extract_stream"
+
+
+def stream_to_staged(
+    stream_turns: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    query_name: str = "kg_stream_ingest",
+):
+    """Attach the extraction sink to a streaming transcript frame;
+    returns the started StreamingQuery (caller drives/stops it).
+
+    ``stream_turns`` is typically ``streaming_dedup_turns(...)`` output
+    (watermarked, PK-deduped); its ``ts`` is timezone-aware for the
+    watermark — cast back to timestamp_ntz here (session TZ is pinned
+    UTC, so the instant is unchanged and matches the batch IR schema).
+    """
+    cfg = cfg or PipelineConfig()
+    staged_root = os.path.join(out_dir, "extracted")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ckpt = CheckpointManager(out_dir)
+        run_dir = f"stream-b{batch_id:06d}"
+        if run_dir in ckpt.committed_run_dirs(spark, STAGE_STREAM):
+            # replayed, already-committed batch: no data effects — but
+            # the upstream stateful dedup still needs every partition
+            # processed for its state-store commit (Spark 4 validates
+            # this), so drain the batch through the noop sink.
+            batch_df.write.format("noop").mode("overwrite").save()
+            return
+        t = with_part_key(
+            batch_df.withColumn("ts", F.col("ts").cast("timestamp_ntz")),
+            cfg.n_buckets,
+        )
+        ordered = with_stable_order(t.repartition(cfg.n_buckets, "part_key"))
+        staged = with_part_key(extract_all_flat(ordered), cfg.n_buckets)
+        path = os.path.join(staged_root, run_dir)
+        # overwrite: a crash-retry of this batch must not append twice
+        staged.write.mode("overwrite").parquet(path)
+        staged_new = spark.read.schema(_staged_with_key()).parquet(path)
+        ckpt.record(
+            partition_metrics(
+                t.select("part_key", "conv_id", "turn_idx", "text"),
+                staged_new.filter(F.col("row_type") == "t"),
+            ),
+            STAGE_STREAM,
+            run_dir=run_dir,
+        )
+
+    return (
+        stream_turns.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def staged_stream_ir(spark: SparkSession, out_dir: str, cfg: PipelineConfig):
+    """(mentions, triples) over every manifest-committed streamed batch."""
+    from ..operators.extraction import mentions_from_staged, triples_from_staged
+
+    ckpt = CheckpointManager(out_dir)
+    staged_root = os.path.join(out_dir, "extracted")
+    run_dirs = ckpt.committed_run_dirs(spark, STAGE_STREAM)
+    if not run_dirs:
+        staged_all = spark.createDataFrame([], schema=_staged_with_key())
+    else:
+        staged_all = spark.read.schema(_staged_with_key()).parquet(
+            *[os.path.join(staged_root, d) for d in run_dirs]
+        )
+    mentions = with_part_key(mentions_from_staged(staged_all), cfg.n_buckets)
+    triples = with_part_key(triples_from_staged(staged_all), cfg.n_buckets)
+    return mentions, triples
+
+
+def finalize_stream_graph(
+    spark: SparkSession, out_dir: str, cfg: PipelineConfig | None = None
+) -> dict[str, DataFrame]:
+    """Linking -> CC -> canonical ids -> node/edge materialization over
+    the streamed IR — the same ``materialize_graph`` the batch pipeline
+    runs, so streaming ingest + finalize == batch build on identical
+    input (tests/test_streaming_bridge.py)."""
+    cfg = cfg or PipelineConfig()
+    mentions, triples = staged_stream_ir(spark, out_dir, cfg)
+    return materialize_graph(spark, mentions, triples, out_dir, cfg)
