@@ -82,9 +82,11 @@ def main() -> int:
     cfg = PipelineConfig(n_buckets=args.buckets or max(cores, 8))
     t0 = time.time()
     res = build_graph(spark, transcripts, args.out, cfg, resume=not args.no_resume)
+    t1 = time.time()
     n_nodes = res["nodes"].count()
     n_edges = res["edges"].count()
     dt = time.time() - t0
+    res["timings"]["count_readback"] = round(time.time() - t1, 3)
 
     print(
         json.dumps(

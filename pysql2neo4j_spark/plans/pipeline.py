@@ -184,21 +184,26 @@ def materialize_graph(
     form2entity = canonical_entities(forms, form_edges, n_partitions=cfg.cc_partitions)
     timings["cc"] = round(time.time() - t0, 3)
 
+    # intermediate rollups persist()ed inside the builders; unpersisted
+    # after the writes below so long-lived sessions don't accumulate
+    caches: list = []
     linked = link_mentions(mentions, form2entity, n_salts=cfg.n_salts)
-    nodes = build_nodes(linked)
-    edges = build_edges(triples, form2entity, n_salts=cfg.n_salts)
+    nodes = build_nodes(linked, cache_registry=caches)
+    edges = build_edges(triples, form2entity, n_salts=cfg.n_salts, cache_registry=caches)
 
     # links IR (FIXTURES.md §C): mention -> canonical entity with the
     # verification-style similarity between the mention's norm and the
     # canonical representative (rank 1 — assignment is exact by norm).
     from ..functions.text import adaptive_containment
 
+    t0 = time.time()
     links = linked.select(
         "mention_id",
         F.col("entity_id").alias("entity_key"),
         F.round(adaptive_containment(F.col("norm"), F.col("entity_id")), 6).alias("score"),
         F.lit(1).alias("rank"),
     )
+    timings["links_def"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     write_bucketed(nodes, os.path.join(out_dir, "nodes"), "entity_id",
@@ -208,9 +213,12 @@ def materialize_graph(
     write_bucketed(edges, os.path.join(out_dir, "edges"), "src_entity",
                    n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
     timings["write_edges"] = round(time.time() - t0, 3)
+    for c in caches:
+        c.unpersist(blocking=False)
 
     # read back with explicit schemas (an empty write leaves no footer
     # to infer from; the pipeline never relies on inference anyway)
+    t0 = time.time()
     from ..schemas import EDGES_SCHEMA, NODES_SCHEMA
 
     part_f = T.StructField("part_key", T.IntegerType(), True)
@@ -220,6 +228,7 @@ def materialize_graph(
     edges_out = spark.read.schema(T.StructType(EDGES_SCHEMA.fields + [part_f])).parquet(
         os.path.join(out_dir, "edges")
     )
+    timings["readback_defs"] = round(time.time() - t0, 3)
     return {
         "mentions": mentions,
         "triples": triples,
