@@ -79,13 +79,32 @@ def build_edges(
     triples: DataFrame,
     form2entity: DataFrame,
     n_salts: int = 16,
-    cache_registry: list | None = None,
 ) -> DataFrame:
     """Canonical edges with properties + provenance.
 
-    Two salted broadcast joins (subj, obj) then a distinct-ifying
-    aggregate — the Spark analogue of the reference's per-FK MATCH ...
-    CREATE, collapsed to set semantics with observation counts."""
+    Two salted broadcast joins (subj, obj) then aggregation — the Spark
+    analogue of the reference's per-FK MATCH ... CREATE, collapsed to
+    set semantics with observation counts.
+
+    Aggregation shape (every buffer bounded; measured on the 16M-turn
+    bench, see BENCH/BASELINE.md):
+      * base (n_obs, first_ts): one hash agg straight off the fact —
+        map-side combined, per-group state = counter + timestamp;
+      * provenance = the PROVENANCE_CAP lexicographically-smallest
+        distinct conv_ids: per-(edge, conv) rollup (hash agg, bounded),
+        then a SALTED two-level rank — a single window over (edge)
+        would sort ALL of a hot edge's distinct convs in one task (the
+        hot entity is ~30% of mentions: millions of rows in one sort at
+        10^12 turns, and a non-parallelizable critical path). Level 1
+        ranks within (edge, pmod(xxhash64(conv), n_salts)) — the hot
+        edge splits n_salts ways — keeping each salt's CAP smallest;
+        the global CAP smallest are necessarily among them (exact).
+        Level 2 ranks the <= n_salts*CAP survivors per edge.
+      The two branches run concurrently in one job (independent stages
+      over the same map-side scan); caching the rollup instead was
+      measured SLOWER — columnar cache encode of a fact-sized frame
+      cost more than the second scan (BENCH forensics, git log).
+    """
     subj_map = form2entity.select(
         F.col("norm").alias("subj_norm"), F.col("entity_id").alias("src_entity")
     )
@@ -94,39 +113,22 @@ def build_edges(
     )
     t = salted_broadcast_join(triples, subj_map, key="subj_norm", salt_on="subj_mention", n_salts=n_salts)
     t = salted_broadcast_join(t, obj_map, key="obj_norm", salt_on="obj_mention", n_salts=n_salts)
-    # ONE pass over the fact, bounded buffers throughout. Provenance =
-    # first PROVENANCE_CAP distinct conv_ids in sorted order; a naive
-    # slice(sort_array(collect_set(conv_id)), 1, cap) would buffer EVERY
-    # distinct conv_id of a hot edge in one aggregation state (the hot
-    # entity is ~30% of mentions — millions of strings per buffer at
-    # 10^12 turns). Instead:
-    #   1. per-(edge, conv_id) rollup: hash agg with map-side combine,
-    #      per-group state = one counter + one timestamp. Lazily
-    #      persist()ed (MEMORY_AND_DISK — free at definition, see
-    #      build_nodes): later actions read the cached rollup; within
-    #      the first action the two branch stages may race-compute it
-    #      concurrently (cache-race semantics) — that duplicate work is
-    #      map-side, embarrassingly parallel, and bounded, unlike a
-    #      localCheckpoint whose definition costs seconds of driver
-    #      planning (fixed cost the N->4N scaling target pays 4x for);
-    #   2. base: plain hash agg over the rollup (bounded state);
-    #   3. provenance: row_number window (streaming after sort — no
-    #      full-partition buffering; the sort spills) -> keep rank <=
-    #      CAP -> collect_list never sees more than CAP rows.
     keys = ["src_entity", "dst_entity", "pred"]
-    per_conv = (
-        t.groupBy(*keys, "conv_id")
-        .agg(F.count("*").alias("cnt"), F.min("ts").alias("mts"))
-        .persist()
+
+    base = t.groupBy(*keys).agg(
+        F.count("*").alias("n_obs"), F.min("ts").alias("first_ts")
     )
-    if cache_registry is not None:
-        cache_registry.append(per_conv)
-    base = per_conv.groupBy(*keys).agg(
-        F.sum("cnt").alias("n_obs"), F.min("mts").alias("first_ts")
-    )
+
+    per_conv = t.select(*keys, "conv_id").distinct()
+    w_local = Window.partitionBy(*keys, "__psalt").orderBy("conv_id")
     w_rank = Window.partitionBy(*keys).orderBy("conv_id")
     prov = (
-        per_conv.select(*keys, "conv_id")
+        per_conv.withColumn(
+            "__psalt", F.pmod(F.xxhash64("conv_id"), F.lit(n_salts)).cast("int")
+        )
+        .withColumn("__rl", F.row_number().over(w_local))
+        .filter(F.col("__rl") <= PROVENANCE_CAP)
+        .drop("__psalt", "__rl")
         .withColumn("rn", F.row_number().over(w_rank))
         .filter(F.col("rn") <= PROVENANCE_CAP)
         .groupBy(*keys)
