@@ -125,7 +125,21 @@ def extract_stage(
             run_dir=run_dir,
         )
 
-    run_dirs = ckpt.committed_run_dirs(spark, STAGE_EXTRACT)
+    return read_committed_ir(spark, out_dir, cfg)
+
+
+def read_committed_ir(
+    spark: SparkSession,
+    out_dir: str,
+    cfg: PipelineConfig,
+    stage: str = STAGE_EXTRACT,
+) -> tuple[DataFrame, DataFrame]:
+    """(mentions, triples) over every manifest-committed staged run dir
+    — the import-only entry (EP3 analogue): materialization can run
+    from a previously exported stage store with no transcript input."""
+    ckpt = CheckpointManager(out_dir)
+    staged_root = os.path.join(out_dir, "extracted")
+    run_dirs = ckpt.committed_run_dirs(spark, stage)
     if not run_dirs:  # nothing extracted yet (empty input)
         staged_all = spark.createDataFrame([], schema=_staged_with_key())
     else:

@@ -96,20 +96,9 @@ def stream_to_staged(
 
 def staged_stream_ir(spark: SparkSession, out_dir: str, cfg: PipelineConfig):
     """(mentions, triples) over every manifest-committed streamed batch."""
-    from ..operators.extraction import mentions_from_staged, triples_from_staged
+    from ..plans.pipeline import read_committed_ir
 
-    ckpt = CheckpointManager(out_dir)
-    staged_root = os.path.join(out_dir, "extracted")
-    run_dirs = ckpt.committed_run_dirs(spark, STAGE_STREAM)
-    if not run_dirs:
-        staged_all = spark.createDataFrame([], schema=_staged_with_key())
-    else:
-        staged_all = spark.read.schema(_staged_with_key()).parquet(
-            *[os.path.join(staged_root, d) for d in run_dirs]
-        )
-    mentions = with_part_key(mentions_from_staged(staged_all), cfg.n_buckets)
-    triples = with_part_key(triples_from_staged(staged_all), cfg.n_buckets)
-    return mentions, triples
+    return read_committed_ir(spark, out_dir, cfg, stage=STAGE_STREAM)
 
 
 def finalize_stream_graph(
