@@ -270,6 +270,43 @@ def join_cross(spark, sf_dir):
     )
 
 
+@register(
+    "join_asof",
+    """WITH clicks AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       views AS (
+         SELECT user_id, ts, round(max(value), 2) AS view_value,
+                CAST(max(event_id) AS BIGINT) AS view_event
+         FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+       SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts,
+              v.view_value, v.view_event
+       FROM clicks c ASOF LEFT JOIN views v
+         ON c.user_id = v.user_id AND c.ts >= v.ts""",
+)
+def join_asof(spark, sf_dir):
+    """As-of join (operators/temporal.py): every click gets the user's
+    most recent prior-or-simultaneous view. Implemented as ONE
+    key-shuffle union + ordered-window last-non-null (never the |L|x|R|
+    range-join explosion); the right side is deduped per (user, ts)
+    with an explicit rule so the match is well-defined on both engines
+    (DuckDB runs its native ASOF LEFT JOIN as the oracle)."""
+    from .operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.round(F.max("value"), 2).alias("view_value"),
+            F.max("event_id").cast("long").alias("view_event"),
+        )
+    )
+    return asof_join(clicks, views, by="user_id").select(
+        "event_id", "user_id", "ts", "asof_ts", "view_value", "view_event"
+    )
+
+
 # =====================================================================
 # Aggregation
 # =====================================================================
@@ -382,6 +419,35 @@ def agg_percentile_exact(spark, sf_dir):
     )
 
 
+@register(
+    "agg_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(o_totalprice), 2) AS total,
+              CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+              CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                               (o_orderstatus), ())""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube) with grouping()
+    flags — declared via Spark SQL over a DataFrame parameter so
+    Catalyst plans the same Expand as the DataFrame API would."""
+    o = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(sum(o_totalprice), 2) AS total,
+                  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+           FROM {o}
+           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                   (o_orderstatus), ())""",
+        o=o,
+    )
+
+
 # =====================================================================
 # Window functions
 # =====================================================================
@@ -455,6 +521,37 @@ def window_ntile_cume(spark, sf_dir):
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@register(
+    "window_range_frame",
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+              round(sum(o_totalprice) OVER w, 2) AS trailing_30d,
+              CAST(count(*) OVER w AS BIGINT) AS n_30d
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)""",
+)
+def window_range_frame(spark, sf_dir):
+    """Value-based (RANGE) window frame: per-customer trailing-30-day
+    order totals. Spark's range frame needs a numeric ordering — the
+    timestamp is cast to epoch seconds and the frame is [-30d, 0] in
+    seconds, exactly DuckDB's INTERVAL frame."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # NTZ -> TIMESTAMP -> epoch seconds (ANSI forbids ntz->long;
+        # session TZ is pinned UTC so the instant is unchanged)
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+        F.count("*").over(w).cast("long").alias("n_30d"),
     )
 
 

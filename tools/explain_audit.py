@@ -25,6 +25,8 @@ EXPECTATIONS: dict[str, list[str]] = {
     "join_anti": ["Anti"],
     "agg_hash": ["HashAggregate", "PushedFilters:"],
     "window_rank": ["Window", "WindowGroupLimit"],  # rank<=3 pushed below the shuffle
+    "window_range_frame": ["Window", "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,o_orderdate"],
+    "join_asof": ["Window"],  # union + ordered-window, not a range join
     "sort_limit_topk": ["TakeOrderedAndProject"],
     "kg_edges_assoc_lineitem": ["BroadcastHashJoin"],
     "kg_multihop_chain": ["BroadcastHashJoin"],
