@@ -32,3 +32,60 @@ def test_asof_join_keeps_all_left_rows(spark):
     assert out.count() == 100
     matched = out.filter("v IS NOT NULL")
     assert matched.count() == len([i for i in range(100) if i % 7 == 0 and i >= 50])
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property-style: on seeded random data the operator must agree
+    with pandas.merge_asof(direction='backward') — an independent
+    implementation of the same semantics."""
+    import pandas as pd
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    left_pdf = pd.DataFrame(
+        {
+            "id": np.arange(400),
+            "ts": rng.integers(0, 1000, 400),
+            "k": [f"k{int(x)}" for x in rng.integers(0, 6, 400)],
+        }
+    )
+    right_pdf = (
+        pd.DataFrame(
+            {
+                "ts": rng.integers(0, 1000, 150),
+                "k": [f"k{int(x)}" for x in rng.integers(0, 6, 150)],
+                "v": np.round(rng.normal(size=150), 6),
+            }
+        )
+        .drop_duplicates(subset=["k", "ts"])  # operator requires unique (key, ts)
+        .reset_index(drop=True)
+    )
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left_pdf, "id LONG, ts LONG, k STRING"),
+            spark.createDataFrame(right_pdf, "ts LONG, k STRING, v DOUBLE"),
+            by="k",
+        )
+        .select("id", "asof_ts", "v")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left_pdf.sort_values("ts", kind="stable"),
+        right_pdf.sort_values("ts", kind="stable"),
+        on="ts",
+        by="k",
+        direction="backward",
+    ).sort_values("id").reset_index(drop=True)
+
+    # merge_asof does not expose the matched right-side ts, so the
+    # value column (NaN-safe) is the comparable surface
+    import numpy.testing as npt
+
+    npt.assert_array_equal(
+        got["v"].fillna(-9e9).to_numpy(), want["v"].fillna(-9e9).to_numpy()
+    )
+    # unmatched rows must agree too: asof_ts null exactly where v is
+    assert (got["asof_ts"].isna() == got["v"].isna()).all()
