@@ -44,6 +44,7 @@ def stream_to_staged(
     out_dir: str,
     cfg: PipelineConfig | None = None,
     query_name: str = "kg_stream_ingest",
+    checkpoint_location: str | None = None,
 ):
     """Attach the extraction sink to a streaming transcript frame;
     returns the started StreamingQuery (caller drives/stops it).
@@ -86,12 +87,18 @@ def stream_to_staged(
             run_dir=run_dir,
         )
 
-    return (
+    writer = (
         stream_turns.writeStream.foreachBatch(sink)
         .outputMode("append")
         .queryName(query_name)
-        .start()
     )
+    if checkpoint_location:
+        # production shape: source offsets + batch ids persist, so a
+        # restarted query CONTINUES (new batch ids, only new data) —
+        # the run-dir guard above then only has to absorb the last
+        # possibly-replayed batch, not a from-scratch re-read.
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()
 
 
 def staged_stream_ir(spark: SparkSession, out_dir: str, cfg: PipelineConfig):

@@ -99,3 +99,50 @@ def test_stream_batch_replay_is_idempotent(spark, transcripts_df, tmp_out):
 
     after = ck.manifest(spark).count()
     assert after == before  # replayed batch ids were skipped
+
+
+def test_stream_restart_continues_incrementally(spark, transcripts_df, tmp_out):
+    """With a checkpointLocation, a restarted ingest query CONTINUES:
+    already-committed batches are not re-read, only newly arrived files
+    are extracted, and the manifest covers every turn exactly once."""
+    from pyspark.sql import functions as F
+
+    cfg = PipelineConfig(n_buckets=8)
+    src = os.path.join(tmp_out, "src")
+    ckpt_loc = os.path.join(tmp_out, "stream_ckpt")
+    out = os.path.join(tmp_out, "graph")
+
+    keyed = transcripts_df.withColumn(
+        "half", F.pmod(F.xxhash64("conv_id"), F.lit(2)).cast("int")
+    )
+    first = keyed.filter("half = 0").drop("half")
+    second = keyed.filter("half = 1").drop("half")
+    first.repartition(2).write.mode("append").parquet(src)
+
+    def run_once(name):
+        stream = streaming_dedup_turns(
+            read_transcript_stream(spark, src, max_files_per_trigger=10),
+            watermark="60 days",
+        )
+        q = stream_to_staged(stream, out, cfg, query_name=name,
+                             checkpoint_location=ckpt_loc)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once("kg_ingest_a")
+    ck = CheckpointManager(out)
+    n_first = ck.manifest(spark).agg(F.sum("n_rows")).collect()[0][0]
+    assert n_first == first.count()
+    dirs_before = set(ck.committed_run_dirs(spark, STAGE_STREAM))
+
+    # new data arrives; the restarted query must process ONLY it
+    second.repartition(2).write.mode("append").parquet(src)
+    run_once("kg_ingest_b")
+
+    m = ck.manifest(spark)
+    assert m.agg(F.sum("n_rows")).collect()[0][0] == transcripts_df.count()
+    dirs_after = set(ck.committed_run_dirs(spark, STAGE_STREAM))
+    new_dirs = dirs_after - dirs_before
+    assert new_dirs and dirs_before < dirs_after  # continued, not replayed
