@@ -63,11 +63,17 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_edges"),
         F.round(F.sum("o_totalprice"), 2).alias("total_value"),
     )
+    # Top-k via orderBy().limit() -> TakeOrderedAndProject: every
+    # partition computes a partial top-10, the driver merges 10-row
+    # heaps.  A global Window.orderBy + row_number would instead pull
+    # EVERY aggregate row into one WindowExec partition — a
+    # single-task sort at 10^9 entities.  The rank window below runs
+    # over the already-limited 10 rows, so its single partition is
+    # bounded by k, not by the data.
+    top = per_cust.orderBy(F.desc("n_edges"), "c_custkey").limit(10)
     w = Window.orderBy(F.desc("n_edges"), "c_custkey")
-    return (
-        per_cust.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("rnk", "c_custkey", "c_name", "n_name", "n_edges", "total_value")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk", "c_custkey", "c_name", "n_name", "n_edges", "total_value"
     )
 
 

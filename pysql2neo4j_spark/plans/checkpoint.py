@@ -76,6 +76,21 @@ class CheckpointManager:
         )
         out.write.mode("append").parquet(self.manifest_path)
 
+    def has_legacy_flat(self, spark: SparkSession, stage: str) -> bool:
+        """True iff any manifest row for ``stage`` predates the run-dir
+        protocol (``run_dir`` null): those partitions' staged rows live
+        FLAT under the stage root, not in a run subdirectory. Readers
+        must include the flat files or a resumed pre-upgrade store
+        silently drops every previously committed partition (its keys
+        still count as complete in ``filter_pending``)."""
+        if not self.exists():
+            return False
+        return bool(
+            self.manifest(spark)
+            .filter((F.col("stage") == stage) & F.col("run_dir").isNull())
+            .head(1)
+        )
+
     def committed_run_dirs(self, spark: SparkSession, stage: str) -> list[str]:
         """Distinct staged subdirectories committed for ``stage`` —
         the ONLY directories a reader may open (crash-orphaned data

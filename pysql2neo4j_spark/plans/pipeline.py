@@ -139,13 +139,25 @@ def read_committed_ir(
     from a previously exported stage store with no transcript input."""
     ckpt = CheckpointManager(out_dir)
     staged_root = os.path.join(out_dir, "extracted")
-    run_dirs = ckpt.committed_run_dirs(spark, stage)
-    if not run_dirs:  # nothing extracted yet (empty input)
+    paths = [os.path.join(staged_root, d) for d in ckpt.committed_run_dirs(spark, stage)]
+    if ckpt.has_legacy_flat(spark, stage):
+        # backward compat (ADVICE r2): manifests committed before the
+        # run-dir protocol reference no subdirectory — their staged
+        # rows are the flat part files directly under the stage root.
+        import glob
+
+        legacy = sorted(glob.glob(os.path.join(staged_root, "part-*.parquet")))
+        if not legacy:
+            raise ValueError(
+                f"manifest for stage '{stage}' references legacy flat staged "
+                f"data but {staged_root} holds no flat part files — refusing "
+                "to resume from an incomplete stage store"
+            )
+        paths.extend(legacy)
+    if not paths:  # nothing extracted yet (empty input)
         staged_all = spark.createDataFrame([], schema=_staged_with_key())
     else:
-        staged_all = spark.read.schema(_staged_with_key()).parquet(
-            *[os.path.join(staged_root, d) for d in run_dirs]
-        )
+        staged_all = spark.read.schema(_staged_with_key()).parquet(*paths)
     # part_key is a pure function of conv_id — recompute, never join.
     mentions = with_part_key(mentions_from_staged(staged_all), cfg.n_buckets)
     triples = with_part_key(triples_from_staged(staged_all), cfg.n_buckets)

@@ -22,6 +22,7 @@ staged data, so it can run while ingest continues.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,28 +40,31 @@ from ..plans.pipeline import (
 STAGE_STREAM = "extract_stream"
 
 
-def stream_to_staged(
-    stream_turns: DataFrame,
-    out_dir: str,
-    cfg: PipelineConfig | None = None,
-    query_name: str = "kg_stream_ingest",
-    checkpoint_location: str | None = None,
-):
-    """Attach the extraction sink to a streaming transcript frame;
-    returns the started StreamingQuery (caller drives/stops it).
+def _lineage_token(checkpoint_location: str) -> str:
+    """Per-lineage token for run-dir names: the StreamingQuery id Spark
+    persists in ``<checkpoint>/metadata``. Stable across restarts of
+    the same checkpoint (so a crash-replayed batch id maps to the SAME
+    run dir and is skipped), regenerated only when the checkpoint is
+    lost — a genuinely fresh lineage whose batch ids restart at 0 must
+    NOT collide with committed dirs from a prior lineage (a collision
+    silently drops the re-read data; a fresh token re-ingests it
+    visibly instead)."""
+    try:
+        with open(os.path.join(checkpoint_location, "metadata")) as fh:
+            return json.load(fh)["id"].replace("-", "")[:8]
+    except (OSError, ValueError, KeyError):
+        return "nolineage"
 
-    ``stream_turns`` is typically ``streaming_dedup_turns(...)`` output
-    (watermarked, PK-deduped); its ``ts`` is timezone-aware for the
-    watermark — cast back to timestamp_ntz here (session TZ is pinned
-    UTC, so the instant is unchanged and matches the batch IR schema).
-    """
-    cfg = cfg or PipelineConfig()
+
+def make_extraction_sink(out_dir: str, cfg: PipelineConfig, checkpoint_location: str):
+    """The foreachBatch sink as a standalone callable (unit-testable:
+    tests replay a batch id directly to pin the idempotence contract)."""
     staged_root = os.path.join(out_dir, "extracted")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         ckpt = CheckpointManager(out_dir)
-        run_dir = f"stream-b{batch_id:06d}"
+        run_dir = f"stream-{_lineage_token(checkpoint_location)}-b{batch_id:06d}"
         if run_dir in ckpt.committed_run_dirs(spark, STAGE_STREAM):
             # replayed, already-committed batch: no data effects — but
             # the upstream stateful dedup still needs every partition
@@ -87,18 +91,44 @@ def stream_to_staged(
             run_dir=run_dir,
         )
 
-    writer = (
+    return sink
+
+
+def stream_to_staged(
+    stream_turns: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    query_name: str = "kg_stream_ingest",
+    checkpoint_location: str | None = None,
+):
+    """Attach the extraction sink to a streaming transcript frame;
+    returns the started StreamingQuery (caller drives/stops it).
+
+    ``stream_turns`` is typically ``streaming_dedup_turns(...)`` output
+    (watermarked, PK-deduped); its ``ts`` is timezone-aware for the
+    watermark — cast back to timestamp_ntz here (session TZ is pinned
+    UTC, so the instant is unchanged and matches the batch IR schema).
+
+    ``checkpoint_location`` defaults UNDER ``out_dir`` — a streaming
+    sink whose commit manifest outlives the query but whose source
+    offsets do not is a data-loss trap (a checkpoint-less restart
+    replays batch ids from 0 over MORE source data than the committed
+    dirs covered, and a name collision would silently skip the
+    difference). With the default, restarting against the same out_dir
+    always continues the same lineage; the run-dir lineage token covers
+    the remaining case of a deliberately discarded checkpoint.
+    """
+    cfg = cfg or PipelineConfig()
+    if checkpoint_location is None:
+        checkpoint_location = os.path.join(out_dir, "_stream_checkpoint")
+    sink = make_extraction_sink(out_dir, cfg, checkpoint_location)
+    return (
         stream_turns.writeStream.foreachBatch(sink)
         .outputMode("append")
         .queryName(query_name)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
     )
-    if checkpoint_location:
-        # production shape: source offsets + batch ids persist, so a
-        # restarted query CONTINUES (new batch ids, only new data) —
-        # the run-dir guard above then only has to absorb the last
-        # possibly-replayed batch, not a from-scratch re-read.
-        writer = writer.option("checkpointLocation", checkpoint_location)
-    return writer.start()
 
 
 def staged_stream_ir(spark: SparkSession, out_dir: str, cfg: PipelineConfig):

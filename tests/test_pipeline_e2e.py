@@ -86,6 +86,56 @@ def test_crash_before_manifest_commit_no_duplicates(
     assert a == b
 
 
+def test_resume_from_legacy_flat_manifest(spark, transcripts_df, tmp_out):
+    """ADVICE r2 backward compat: a stage store committed BEFORE the
+    run-dir protocol has null run_dir rows and its staged rows flat
+    under extracted/. Resuming over it must read that data (not
+    silently drop every previously committed partition) and the final
+    graph must equal a single fresh run."""
+    import glob
+    import shutil
+
+    cfg = PipelineConfig(n_buckets=8)
+    keyed = with_part_key(transcripts_df, cfg.n_buckets)
+    first_half = keyed.filter(F.col("part_key") < 4).drop("part_key")
+
+    out = tmp_out + "_legacy"
+    build_graph(spark, first_half, out, cfg)
+
+    # downgrade the store to the pre-run-dir layout: flatten the run
+    # dir's part files into extracted/ and null out run_dir rows
+    staged_root = os.path.join(out, "extracted")
+    run_dirs = [d for d in os.listdir(staged_root) if d.startswith("run-")]
+    assert len(run_dirs) == 1
+    for f in glob.glob(os.path.join(staged_root, run_dirs[0], "part-*.parquet")):
+        shutil.move(f, staged_root)
+    shutil.rmtree(os.path.join(staged_root, run_dirs[0]))
+    ck = CheckpointManager(out)
+    legacy = ck.manifest(spark).withColumn("run_dir", F.lit(None).cast("string"))
+    legacy_rows = legacy.collect()
+    shutil.rmtree(ck.manifest_path)
+    spark.createDataFrame(legacy_rows, schema=legacy.schema).write.parquet(
+        ck.manifest_path
+    )
+
+    res_resumed = build_graph(spark, transcripts_df, out, cfg)
+    res_single = build_graph(spark, transcripts_df, tmp_out, cfg)
+    assert res_resumed["mentions"].count() == res_single["mentions"].count()
+    a = sorted(map(tuple, _canon_triples(res_resumed).distinct().collect()))
+    b = sorted(map(tuple, _canon_triples(res_single).distinct().collect()))
+    assert a == b
+
+    # and the refusal path: legacy rows present but flat data gone
+    import pytest
+
+    from pysql2neo4j_spark.plans.pipeline import read_committed_ir
+
+    for f in glob.glob(os.path.join(staged_root, "part-*.parquet")):
+        os.remove(f)
+    with pytest.raises(ValueError, match="legacy flat staged"):
+        read_committed_ir(spark, out, cfg)
+
+
 def test_edges_carry_provenance_and_counts(spark, transcripts_df, tmp_out):
     res = build_graph(spark, transcripts_df, tmp_out, PipelineConfig())
     e = res["edges"]

@@ -28,6 +28,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     "window_range_frame": ["Window", "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,o_orderdate"],
     "join_asof": ["Window"],  # union + ordered-window, not a range join
     "sort_limit_topk": ["TakeOrderedAndProject"],
+    # flagship is the driver entry() query, not a registry key; audit()
+    # resolves it specially.  The top-k must be a per-partition partial
+    # heap merge, never a single-partition global sort.
+    "flagship": ["TakeOrderedAndProject", "BroadcastHashJoin"],
     "kg_edges_assoc_lineitem": ["BroadcastHashJoin"],
     "kg_multihop_chain": ["BroadcastHashJoin"],
     "udf_pandas_scalar": ["ArrowEvalPython"],
@@ -43,11 +47,12 @@ def audit(spark, keys=None, sf_dir: str = "/root/testdata/sf0.001") -> dict[str,
     """Explain every audited query and return {key: [problems]} (empty
     lists mean PASS). Reusable from pytest (tests/test_explain_audit.py)
     so a plan-hygiene regression fails CI, not just this manual tool."""
-    from pysql2neo4j_spark.entry_queries import QUERIES
+    from pysql2neo4j_spark.entry_queries import QUERIES, flagship
 
     results: dict[str, list[str]] = {}
     for key in sorted(keys or EXPECTATIONS):
-        df = QUERIES[key](spark, sf_dir)
+        fn = flagship if key == "flagship" else QUERIES[key]
+        df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
