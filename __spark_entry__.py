@@ -33,6 +33,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pysql2neo4j_spark.entry_queries import ORACLES
+    from pysql2neo4j_spark.entry_queries import resolve_oracles
 
-    return dict(ORACLES)
+    return resolve_oracles()

@@ -70,12 +70,12 @@ def connected_components(
     """
     spark = vertices.sparkSession
     if n_partitions is None:
-        # input-sized, capped by session parallelism: a 100x corpus gets
-        # 100x partitions automatically instead of a hardcoded 4.
-        n_partitions = max(
-            4,
-            min(vertices.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism),
-        )
+        # session-parallelism default: touching vertices.rdd here would
+        # force a DataFrame->RDD plan conversion (driver-side analysis +
+        # potential broadcast jobs) on every call that omits the arg
+        # (ADVICE r2). Callers with better knowledge size it explicitly
+        # — the pipeline passes cfg.cc_partitions (vocabulary-sized).
+        n_partitions = max(4, spark.sparkContext.defaultParallelism)
     n_parts = n_partitions
 
     sym = (

@@ -43,6 +43,17 @@ def asof_join(
     LEFT semantics). The matched right timestamp is exposed as
     ``asof_ts``."""
     val_cols = [c for c in right.columns if c not in (by, right_ts)]
+    clash = sorted(set(val_cols) & set(left.columns))
+    if clash:
+        # the final select emits *left.columns then aliases each right
+        # value column back to its bare name — a shared name would
+        # produce duplicate/ambiguous output columns (ADVICE r2)
+        raise ValueError(
+            f"asof_join: right value column(s) {clash} collide with left "
+            "columns; rename them on the right side before joining"
+        )
+    if "asof_ts" in left.columns:
+        raise ValueError("asof_join: left already has an 'asof_ts' column")
 
     l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     for c in val_cols:

@@ -52,8 +52,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # deterministic shuffle behavior for the text-equality invariant tests
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # read-time split: smaller input splits give scan-parallelism to
+        # text-heavy per-row work (dedup signatures, extraction) WITHOUT
+        # an explicit repartition shuffle (VERDICT r2 #4). 32m x 32
+        # cores ~ 1 GiB in flight — well inside executor memory; on a
+        # real cluster size this to cores x maxPartitionBytes per
+        # executor. (Row-group granularity still floors the split: a
+        # single-row-group file scans as one task regardless — the
+        # gated fallback in operators/dedup._spread covers that.)
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         # InferFiltersFromGenerate duplicates the generator input as a
         # size()>0 filter; for our heavy nested-lambda signature arrays
         # (minhash bands, simhash chunks) that doubles — and after

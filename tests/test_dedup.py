@@ -83,3 +83,29 @@ def test_embedding_dup_pairs_planted(spark):
     pairs = embedding_dup_pairs(aug, "vec_id", "embedding", threshold=0.999).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert got == {(i, i + 90000) for i in range(5)}
+
+
+def test_spread_skips_shuffle_on_parallel_scan(spark, tmp_out):
+    """VERDICT r2 #4: _spread must NOT repartition (an extra full-text
+    Exchange at 100 TB) when the scan is already parallel; it only
+    rescues few-task scans (single-row-group files)."""
+    import os
+
+    from pysql2neo4j_spark.operators.dedup import _spread
+
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(10000).withColumn("text", F.concat(F.lit("doc "), F.col("id")))
+
+    wide = os.path.join(tmp_out, "wide.parquet")
+    df.repartition(par).write.parquet(wide)
+    scan = spark.read.parquet(wide)
+    assert scan.rdd.getNumPartitions() >= par // 2
+    spread = _spread(scan)
+    assert spread is scan  # pass-through: no added Exchange
+    assert "Exchange" not in spread._jdf.queryExecution().executedPlan().toString()
+
+    narrow = os.path.join(tmp_out, "narrow.parquet")
+    df.coalesce(1).write.parquet(narrow)
+    nscan = spark.read.parquet(narrow)
+    assert nscan.rdd.getNumPartitions() < max(2, par // 2)
+    assert _spread(nscan).rdd.getNumPartitions() == par

@@ -89,3 +89,21 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     )
     # unmatched rows must agree too: asof_ts null exactly where v is
     assert (got["asof_ts"].isna() == got["v"].isna()).all()
+
+
+def test_asof_join_rejects_colliding_value_columns(spark):
+    """ADVICE r2: a right value column sharing a name with a left column
+    would emit duplicate/ambiguous output columns — refuse loudly."""
+    import pytest
+
+    from pysql2neo4j_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10, 5)], "k int, ts int, v int")
+    right = spark.createDataFrame([(1, 9, 7)], "k int, ts int, v int")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, by="k")
+
+    left2 = left.withColumnRenamed("v", "asof_ts")
+    right2 = right.withColumnRenamed("v", "rv")
+    with pytest.raises(ValueError, match="asof_ts"):
+        asof_join(left2, right2, by="k")
