@@ -313,6 +313,43 @@ def join_asof(spark, sf_dir):
     )
 
 
+@register(
+    "join_asof_bucketed",
+    """WITH clicks AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       views AS (
+         SELECT user_id, ts, round(max(value), 2) AS view_value,
+                CAST(max(event_id) AS BIGINT) AS view_event
+         FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+       SELECT c.event_id, c.user_id, c.ts, v.ts AS asof_ts,
+              v.view_value, v.view_event
+       FROM clicks c ASOF LEFT JOIN views v
+         ON c.user_id = v.user_id AND c.ts >= v.ts""",
+)
+def join_asof_bucketed(spark, sf_dir):
+    """Hot-key-safe as-of join: identical semantics to join_asof (same
+    DuckDB ASOF oracle) through the (key, time-bucket) partitioned plan
+    with boundary carry-over (operators/temporal.asof_join_bucketed) —
+    one pathological key holding 30% of events sorts per-bucket instead
+    of in a single WindowExec task. Property-tested against the window
+    implementation across bucket widths (tests/test_temporal.py)."""
+    from .operators.temporal import asof_join_bucketed
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.round(F.max("value"), 2).alias("view_value"),
+            F.max("event_id").cast("long").alias("view_event"),
+        )
+    )
+    return asof_join_bucketed(
+        clicks, views, by="user_id", bucket_seconds=7 * 86400
+    ).select("event_id", "user_id", "ts", "asof_ts", "view_value", "view_event")
+
+
 # =====================================================================
 # Aggregation
 # =====================================================================

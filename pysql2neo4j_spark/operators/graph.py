@@ -55,6 +55,14 @@ def build_nodes(
     )
     if cache_registry is not None:
         cache_registry.append(per_surface)
+    return nodes_from_surface_stats(per_surface)
+
+
+def nodes_from_surface_stats(per_surface: DataFrame) -> DataFrame:
+    """Node rows from a (entity_id, surface, norm, n) rollup — the
+    vocabulary-sized frame that is ALSO the incremental-finalize state
+    (plans/incremental.py persists it per version so a delta finalize
+    rebuilds nodes without re-scanning any mention fact data)."""
     w = Window.partitionBy("entity_id").orderBy(F.desc("n"), "surface")
     best = per_surface.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
         "entity_id", F.col("surface").alias("canonical_name")

@@ -124,6 +124,49 @@ def candidate_pairs(
     )
 
 
+def delta_candidate_pairs(
+    forms: DataFrame,
+    new_norms: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    rows: int = DEFAULT_ROWS,
+    max_block: int = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Candidate pairs INVOLVING at least one new form (incremental
+    finalize). Block keys and the block-size cap are computed over ALL
+    forms — identical block membership and cap behavior to the full
+    build — but the quadratic pair expansion is restricted to pairs
+    with a new side: old x old pairs were either already edges (baked
+    into the prior components) or already scored below threshold, and
+    a form's block keys never change, so no old x old pair can appear
+    in any block for the first time.
+
+    Known divergence vs a full rebuild (documented, monotone): a block
+    that crosses ``max_block`` only after new forms arrive is dropped
+    NOW, but its old x old edges from when it was smaller are already
+    merged into the prior components and are not unwound — incremental
+    components can only merge, never split."""
+    forms = forms.withColumn("sh", char_shingles(F.col("norm"))).localCheckpoint(eager=True)
+    keys = blocking_keys(forms, bands, rows).localCheckpoint(eager=True)
+    w = Window.partitionBy("block_key")
+    keys = keys.withColumn("__bs", F.count("*").over(w)).filter(F.col("__bs") <= max_block).drop("__bs")
+    keys = keys.join(
+        F.broadcast(new_norms.select("norm").withColumn("__new", F.lit(True))),
+        on="norm",
+        how="left",
+    ).withColumn("__new", F.coalesce(F.col("__new"), F.lit(False)))
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(b, on="block_key")
+        .filter(
+            (F.col("a.norm") < F.col("b.norm"))
+            & (F.col("a.__new") | F.col("b.__new"))
+        )
+        .select(F.col("a.norm").alias("norm_a"), F.col("b.norm").alias("norm_b"))
+        .dropDuplicates(["norm_a", "norm_b"])
+    )
+
+
 def score_pairs(pairs: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
     """Verification scoring: containment over char-3-shingles; keep
     pairs >= threshold. Shingles are recomputed per side — cheaper than

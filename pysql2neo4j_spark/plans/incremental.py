@@ -1,0 +1,296 @@
+"""Incremental graph finalization (VERDICT r2 'Next round' #2).
+
+The batch pipeline's graph-global tail (linking -> CC -> materialize)
+recomputes from ALL committed IR on every call — at 10^12 turns a
+daily finalize re-pays the whole linking/CC/aggregation cost for a
+0.1% delta. This module makes finalize DELTA-SHAPED:
+
+  state (persisted per finalize, under <out_dir>/state/v<NNN>/):
+    form2entity    (norm, entity_id)        — vocabulary-sized
+    surface_stats  (norm, surface, n)       — vocabulary-sized
+    edges          EDGES_SCHEMA             — edge-table-sized
+
+  delta finalize reads ONLY the IR run dirs committed since the last
+  finalize, then:
+    1. merges the delta (norm, surface) counts into surface_stats;
+    2. generates candidate pairs ONLY for blocks containing a new form
+       (operators/linking.delta_candidate_pairs) — block keys are
+       per-form deterministic, so old x old pairs can never appear in
+       a block for the first time;
+    3. runs CC over the vocabulary with edges = prior MEMBERSHIP edges
+       (norm -> prior entity_id: reconnects the prior components
+       exactly) + the newly scored delta edges — new forms can join
+       and even MERGE prior entities, never split them;
+    4. rebuilds nodes from the merged surface_stats x new form2entity
+       (vocabulary-sized — zero fact-data re-scan);
+    5. aggregates ONLY the delta triples into delta edge rows, remaps
+       prior edge rows whose endpoints changed entity, and re-merges
+       just the touched keys; untouched prior edges pass through
+       byte-identical.
+
+  Exactness: nodes and edges equal a full rebuild row-for-row. n_obs
+  is additive over the disjoint IR deltas; first_ts is a min; the
+  provenance cap merges exactly (each source keeps its CAP smallest
+  conv_ids, and any conv in the global CAP-smallest must be within
+  some source's kept list — else that source holds CAP smaller ones).
+  The one documented divergence: a block crossing max_block only
+  after new forms arrive (see delta_candidate_pairs) — merges are
+  monotone, components never split.
+
+State commits are atomic: version directories are written first, then
+_meta.json flips to the new version via rename; a crash mid-finalize
+leaves the prior version live and the orphan vN is overwritten by the
+retry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.components import canonical_entities
+from ..operators.graph import PROVENANCE_CAP, build_edges, nodes_from_surface_stats
+from ..operators.linking import delta_candidate_pairs, score_pairs
+from ..schemas import EDGES_SCHEMA, NODES_SCHEMA
+from ..sources.transcripts import write_bucketed
+from .checkpoint import CheckpointManager
+from .pipeline import PipelineConfig, materialize_graph, read_committed_ir
+
+STATE_DIR = "state"
+
+F2E_SCHEMA = "norm STRING, entity_id STRING"
+SURFACE_SCHEMA = "norm STRING, surface STRING, n LONG"
+
+
+def _meta_path(out_dir: str) -> str:
+    return os.path.join(out_dir, STATE_DIR, "_meta.json")
+
+
+def read_state_meta(out_dir: str) -> dict | None:
+    try:
+        with open(_meta_path(out_dir)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _commit_state_meta(out_dir: str, meta: dict) -> None:
+    os.makedirs(os.path.join(out_dir, STATE_DIR), exist_ok=True)
+    tmp = _meta_path(out_dir) + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _meta_path(out_dir))
+
+
+def _vdir(out_dir: str, version: int, name: str) -> str:
+    return os.path.join(out_dir, STATE_DIR, f"v{version:04d}", name)
+
+
+def _surface_stats(mentions: DataFrame) -> DataFrame:
+    return mentions.groupBy("norm", "surface").agg(F.count("*").alias("n"))
+
+
+def _publish(spark: SparkSession, out_dir: str, nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig):
+    from pyspark.sql import types as T
+
+    write_bucketed(nodes, os.path.join(out_dir, "nodes"), "entity_id",
+                   n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
+    write_bucketed(edges, os.path.join(out_dir, "edges"), "src_entity",
+                   n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
+    part_f = T.StructField("part_key", T.IntegerType(), True)
+    nodes_out = spark.read.schema(T.StructType(NODES_SCHEMA.fields + [part_f])).parquet(
+        os.path.join(out_dir, "nodes"))
+    edges_out = spark.read.schema(T.StructType(EDGES_SCHEMA.fields + [part_f])).parquet(
+        os.path.join(out_dir, "edges"))
+    return nodes_out, edges_out
+
+
+def _merge_edges(
+    prior: DataFrame, delta: DataFrame, remap_changed: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(merged_edges, touched_prior_marker): remap prior endpoints whose
+    entity merged, re-aggregate ONLY prior rows that were remapped or
+    whose key also appears in the delta; everything else passes through
+    untouched. ``remap_changed`` is (old_entity, new_entity), changed
+    rows only — entity-count-sized, broadcast."""
+    keys = ["src_entity", "dst_entity", "pred"]
+    rm = F.broadcast(remap_changed)
+    r = (
+        prior.join(rm.withColumnRenamed("old_entity", "src_entity")
+                     .withColumnRenamed("new_entity", "__src_new"),
+                   on="src_entity", how="left")
+        .join(rm.withColumnRenamed("old_entity", "dst_entity")
+                .withColumnRenamed("new_entity", "__dst_new"),
+              on="dst_entity", how="left")
+        .withColumn("__rm", F.col("__src_new").isNotNull() | F.col("__dst_new").isNotNull())
+        .withColumn("src_entity", F.coalesce("__src_new", "src_entity"))
+        .withColumn("dst_entity", F.coalesce("__dst_new", "dst_entity"))
+        .drop("__src_new", "__dst_new")
+    )
+    dk = delta.select(*keys).distinct().withColumn("__dk", F.lit(True))
+    r = r.join(dk, on=keys, how="left").withColumn(
+        "__touched", F.col("__rm") | F.coalesce(F.col("__dk"), F.lit(False))
+    ).drop("__rm", "__dk")
+    untouched = r.filter(~F.col("__touched")).drop("__touched").select(
+        *keys, "n_obs", "first_ts", "provenance")
+    touched = r.filter(F.col("__touched")).drop("__touched").select(
+        *keys, "n_obs", "first_ts", "provenance")
+    merged = (
+        touched.unionByName(delta.select(*keys, "n_obs", "first_ts", "provenance"))
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_obs").cast("long").alias("n_obs"),
+            F.min("first_ts").alias("first_ts"),
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("provenance")))),
+                1, PROVENANCE_CAP,
+            ).alias("provenance"),
+        )
+    )
+    return untouched.unionByName(merged), touched
+
+
+def finalize_graph(
+    spark: SparkSession,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    stage: str = "extract_stream",
+) -> dict:
+    """Finalize the graph from committed IR: FULL on first call (no
+    prior state), DELTA afterwards — reading only run dirs committed
+    since the previous finalize. Returns the materialized tables plus
+    ``metrics`` (mode, delta dir count, observed IR rows read)."""
+    cfg = cfg or PipelineConfig()
+    ckpt = CheckpointManager(out_dir)
+    committed = ckpt.committed_run_dirs(spark, stage)
+    meta = read_state_meta(out_dir)
+    done = set(meta["finalized_run_dirs"]) if meta else set()
+    delta_dirs = [d for d in committed if d not in done]
+    version = (meta["version"] + 1) if meta else 0
+
+    if meta is None:
+        return _finalize_full(spark, out_dir, cfg, stage, committed, version)
+    if not delta_dirs:
+        # nothing new: current state is the answer
+        return _read_published(spark, out_dir, cfg, meta, mode="noop")
+    return _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version)
+
+
+def _read_state(spark: SparkSession, out_dir: str, version: int):
+    f2e = spark.read.schema(F2E_SCHEMA).parquet(_vdir(out_dir, version, "form2entity"))
+    surf = spark.read.schema(SURFACE_SCHEMA).parquet(_vdir(out_dir, version, "surface_stats"))
+    edges = spark.read.schema(EDGES_SCHEMA).parquet(_vdir(out_dir, version, "edges"))
+    return f2e, surf, edges
+
+
+def _read_published(spark, out_dir, cfg, meta, mode):
+    from pyspark.sql import types as T
+
+    part_f = T.StructField("part_key", T.IntegerType(), True)
+    nodes_out = spark.read.schema(T.StructType(NODES_SCHEMA.fields + [part_f])).parquet(
+        os.path.join(out_dir, "nodes"))
+    edges_out = spark.read.schema(T.StructType(EDGES_SCHEMA.fields + [part_f])).parquet(
+        os.path.join(out_dir, "edges"))
+    f2e, _, _ = _read_state(spark, out_dir, meta["version"])
+    return {"nodes": nodes_out, "edges": edges_out, "form2entity": f2e,
+            "metrics": {"mode": mode, "n_delta_run_dirs": 0, "ir_mention_rows_read": 0,
+                        "ir_triple_rows_read": 0}}
+
+
+def _finalize_full(spark, out_dir, cfg, stage, committed, version):
+    obs_m = Observation()
+    mentions, triples = read_committed_ir(spark, out_dir, cfg, stage=stage)
+    mentions = mentions.observe(obs_m, F.count(F.lit(1)).alias("n"))
+    res = materialize_graph(spark, mentions, triples, out_dir, cfg)
+
+    # persist state: vocabulary-sized frames + the published edge table
+    _surface_stats(mentions).write.mode("overwrite").parquet(
+        _vdir(out_dir, version, "surface_stats"))
+    res["form2entity"].write.mode("overwrite").parquet(
+        _vdir(out_dir, version, "form2entity"))
+    res["edges"].drop("part_key").write.mode("overwrite").parquet(
+        _vdir(out_dir, version, "edges"))
+    _commit_state_meta(out_dir, {"version": version, "stage": stage,
+                                 "finalized_run_dirs": sorted(committed)})
+    res["metrics"] = {"mode": "full", "n_delta_run_dirs": len(committed),
+                      "ir_mention_rows_read": int(obs_m.get["n"] or 0),
+                      "ir_triple_rows_read": None}
+    return res
+
+
+def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
+    stage = meta["stage"]
+    f2e_prior, surf_prior, edges_prior = _read_state(spark, out_dir, meta["version"])
+
+    # ---- delta IR only (the whole point: no full-IR re-read)
+    from .pipeline import _staged_with_key
+    from ..operators.extraction import mentions_from_staged, triples_from_staged
+
+    staged_root = os.path.join(out_dir, "extracted")
+    staged = spark.read.schema(_staged_with_key()).parquet(
+        *[os.path.join(staged_root, d) for d in delta_dirs])
+    obs_m, obs_t = Observation(), Observation()
+    d_mentions = mentions_from_staged(staged).observe(obs_m, F.count(F.lit(1)).alias("n"))
+    d_triples = triples_from_staged(staged).observe(obs_t, F.count(F.lit(1)).alias("n"))
+
+    # ---- 1. merge surface stats (vocabulary-sized state)
+    surf_new = (
+        surf_prior.unionByName(_surface_stats(d_mentions))
+        .groupBy("norm", "surface")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .localCheckpoint(eager=True)  # cut lineage: reused by nodes + forms
+    )
+
+    # ---- 2/3. delta linking + CC over membership + new edges
+    forms_all = surf_new.groupBy("norm").agg(F.sum("n").alias("n_mentions"))
+    new_norms = forms_all.join(f2e_prior.select("norm"), on="norm", how="left_anti")
+    pairs = delta_candidate_pairs(
+        forms_all, new_norms, bands=cfg.bands, rows=cfg.rows, max_block=cfg.max_block)
+    new_edges = score_pairs(pairs, cfg.threshold).select("norm_a", "norm_b")
+    membership = f2e_prior.filter(F.col("norm") != F.col("entity_id")).select(
+        F.col("norm").alias("norm_a"), F.col("entity_id").alias("norm_b"))
+    f2e_new = canonical_entities(
+        forms_all, new_edges.unionByName(membership), n_partitions=cfg.cc_partitions
+    ).localCheckpoint(eager=True)  # small; reused by nodes, edges, remap
+
+    # ---- 4. nodes from merged vocab state (zero fact re-scan)
+    per_surface = surf_new.join(F.broadcast(f2e_new), on="norm").select(
+        "entity_id", "surface", "norm", "n")
+    nodes = nodes_from_surface_stats(per_surface)
+
+    # ---- 5. delta edge aggregation + touched-key merge
+    delta_edges = build_edges(d_triples, f2e_new, n_salts=cfg.n_salts)
+    remap_changed = (
+        f2e_prior.select(F.col("entity_id").alias("old_entity")).distinct()
+        .join(f2e_new.withColumnRenamed("norm", "old_entity")
+                     .withColumnRenamed("entity_id", "new_entity"),
+              on="old_entity")
+        .filter(F.col("old_entity") != F.col("new_entity"))
+    )
+    edges, touched = _merge_edges(edges_prior, delta_edges, remap_changed)
+
+    # ---- commit state vN, publish, flip meta
+    surf_new.write.mode("overwrite").parquet(_vdir(out_dir, version, "surface_stats"))
+    f2e_new.write.mode("overwrite").parquet(_vdir(out_dir, version, "form2entity"))
+    edges.write.mode("overwrite").parquet(_vdir(out_dir, version, "edges"))
+    # publish from the committed state version (stable source, and the
+    # publish overwrite never races the prior-state read)
+    edges_state = spark.read.schema(EDGES_SCHEMA).parquet(_vdir(out_dir, version, "edges"))
+    nodes_out, edges_out = _publish(spark, out_dir, nodes, edges_state, cfg)
+    _commit_state_meta(out_dir, {
+        "version": version, "stage": stage,
+        "finalized_run_dirs": sorted(set(meta["finalized_run_dirs"]) | set(delta_dirs)),
+    })
+    return {
+        "mentions": d_mentions, "triples": d_triples,
+        "form2entity": f2e_new, "nodes": nodes_out, "edges": edges_out,
+        "metrics": {
+            "mode": "incremental",
+            "n_delta_run_dirs": len(delta_dirs),
+            "ir_mention_rows_read": int(obs_m.get["n"] or 0),
+            "ir_triple_rows_read": int(obs_t.get["n"] or 0),
+        },
+    }

@@ -34,7 +34,6 @@ from ..plans.checkpoint import CheckpointManager, partition_metrics, with_part_k
 from ..plans.pipeline import (
     PipelineConfig,
     _staged_with_key,
-    materialize_graph,
 )
 
 STAGE_STREAM = "extract_stream"
@@ -141,10 +140,15 @@ def staged_stream_ir(spark: SparkSession, out_dir: str, cfg: PipelineConfig):
 def finalize_stream_graph(
     spark: SparkSession, out_dir: str, cfg: PipelineConfig | None = None
 ) -> dict[str, DataFrame]:
-    """Linking -> CC -> canonical ids -> node/edge materialization over
-    the streamed IR — the same ``materialize_graph`` the batch pipeline
-    runs, so streaming ingest + finalize == batch build on identical
-    input (tests/test_streaming_bridge.py)."""
+    """Finalize the graph from the streamed IR. First call = full build
+    (same ``materialize_graph`` tail as the batch pipeline) + persisted
+    vocabulary-sized state; subsequent calls are DELTA finalizes that
+    read only newly committed run dirs (plans/incremental.py) — the
+    whole point at 10^12 turns, where a daily finalize must not re-pay
+    linking/CC/aggregation for the 99.9% of IR that didn't change.
+    Either way the result equals a batch build over all ingested input
+    (tests/test_streaming_bridge.py, tests/test_incremental.py)."""
+    from ..plans.incremental import finalize_graph
+
     cfg = cfg or PipelineConfig()
-    mentions, triples = staged_stream_ir(spark, out_dir, cfg)
-    return materialize_graph(spark, mentions, triples, out_dir, cfg)
+    return finalize_graph(spark, out_dir, cfg, stage=STAGE_STREAM)
