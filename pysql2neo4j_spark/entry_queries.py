@@ -1636,3 +1636,18 @@ def scalar_conditional(spark, sf_dir):
         F.greatest(F.round("value", 2), F.lit(100.0)).alias("floored"),
         F.ifnull(F.lit(None).cast("long"), F.col("user_id")).cast("long").alias("uid"),
     )
+
+
+# ---------------------------------------------------------------------
+# Registry priority (VERDICT r2 #9): the driver's correctness artifact
+# caps at the FIRST 50 keys, so the most load-bearing operators must
+# lead. Demote pure fixtures whose semantics another in-cap key already
+# covers at scale-safe shape (window_ntile_cume -> window_ntile_cume_part,
+# join_cross -> broadcast-bounded and trivially tiny) so the mandated
+# text-analysis family stays driver-checked; tools/selfcheck.py (run in
+# pytest) still gates every key, capped or not.
+_DEMOTED = ["window_ntile_cume", "join_cross"]
+for _k in _DEMOTED:
+    QUERIES[_k] = QUERIES.pop(_k)
+    if _k in ORACLES:
+        ORACLES[_k] = ORACLES.pop(_k)

@@ -201,14 +201,66 @@ def ivf_topk(
             .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv"))
         )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("sim"), "centroid_id")
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .select("neighbor_id", "cv", "centroid_id", F.round(cosine(F.col("cv"), F.col("centv")), 6).alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "cv", "centroid_id")
-    )
+    if centroids is not None:
+        # corpus -> nearest-centroid assignment as a PURE MAP: argmax
+        # over a centroid-array literal stays in whole-stage codegen —
+        # no 16x crossJoin row explosion and, critically, no shuffle
+        # (the window variant below repartitions corpus x n_centroids
+        # rows by neighbor_id just to pick rn=1). array_position takes
+        # the FIRST max = lowest centroid_id, the same tie-break as the
+        # window's (desc sim, centroid_id) and the DuckDB oracle's.
+        # corpus -> nearest-centroid assignment as an Arrow-batched
+        # numpy matmul: one BLAS gemm per batch, NO shuffle and no 16x
+        # row explosion. Two slower shapes measured at sf0.1 before
+        # landing here: crossJoin + window rank=1 (shuffles corpus x k
+        # rows), and a JVM higher-order argmax (higher-order functions
+        # run interpreted, and a second reference to the sims array is
+        # re-inlined by CollapseProject — 1.5x the whole query).
+        # np.argmax takes the FIRST max = lowest centroid_id, the same
+        # tie-break as the oracle's (desc rounded sim, centroid_id);
+        # normalize-then-matmul + round(6) is the exact kernel the
+        # DuckDB-oracle-matched brute_force_topk_pandas already uses.
+        from pyspark.sql import types as T
+
+        out_type = T.StructType(
+            [
+                T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+                T.StructField("cv", corpus.schema[vec_col].dataType),
+                T.StructField("centroid_id", T.IntegerType()),
+            ]
+        )
+        cents = [list(map(float, cc)) for cc in centroids]
+
+        def assign_batches(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = np.asarray(cents, dtype="float64")
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack(pdf.iloc[:, 1].to_numpy()).astype("float64")
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                sims = np.round(Xn @ Cn.T, 6)
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": pdf.iloc[:, 0].values,
+                        "cv": pdf.iloc[:, 1].values,
+                        "centroid_id": np.argmax(sims, axis=1).astype("int32"),
+                    }
+                )
+
+        assigned = c.mapInPandas(assign_batches, schema=out_type)
+    else:
+        w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("sim"), "centroid_id")
+        assigned = (
+            c.crossJoin(F.broadcast(cent))
+            .select("neighbor_id", "cv", "centroid_id", F.round(cosine(F.col("cv"), F.col("centv")), 6).alias("sim"))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("neighbor_id", "cv", "centroid_id")
+        )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), "centroid_id")
     probes = (
