@@ -984,6 +984,39 @@ def stream_tumbling(spark, sf_dir):
 
 
 @register(
+    "stream_sliding",
+    """WITH ks AS (SELECT unnest(range(0, 4)) AS k),
+       expanded AS (
+         SELECT CAST(time_bucket(INTERVAL '15 minutes', e.ts)
+                     - (ks.k * INTERVAL '15 minutes') AS TIMESTAMP) AS window_start,
+                e.event_type, e.value
+         FROM events e CROSS JOIN ks
+       )
+       SELECT window_start, event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 2) AS total_value
+       FROM expanded GROUP BY 1, 2""",
+)
+def stream_sliding(spark, sf_dir):
+    """SLIDING window aggregate (1h window, 15min slide): each event
+    belongs to 4 overlapping windows — window(ts, len, slide), the
+    streaming shape for trailing-hour dashboards. The oracle expands
+    each event into its 4 covering window starts (bucket15(ts) - k*15m)
+    and aggregates, which is exactly Spark's sliding-window expansion."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
     "stream_session",
     """WITH marked AS (
          SELECT user_id, ts, event_id,

@@ -61,6 +61,10 @@ class PipelineConfig:
     max_block: int = DEFAULT_MAX_BLOCK
     threshold: float = DEFAULT_THRESHOLD
     catalog: str = "parquet"     # "iceberg" when a runtime jar is present
+    # secondary linking evidence: shared-context blend weight (0 = pure
+    # string scoring — the calibrated default for the synthetic corpus;
+    # see operators/linking.context_boosted_scores)
+    context_weight: float = 0.0
     # CC runs over DISTINCT NORMS (vocabulary-sized, sublinear in corpus
     # size) — a small explicit partition count keeps each superstep job's
     # fixed cost low; components.py defaults to input-sized otherwise.
@@ -201,6 +205,7 @@ def materialize_graph(
     forms, form_edges = link_candidates(
         mentions, bands=cfg.bands, rows=cfg.rows,
         max_block=cfg.max_block, threshold=cfg.threshold,
+        context_weight=cfg.context_weight,
     )
     timings["link_prep"] = round(time.time() - t0, 3)
     # eager work in this phase: distinct-forms agg + candidate self-join

@@ -88,3 +88,55 @@ def test_scoring_threshold_boundaries(spark):
     by_pair = {(r.norm_a, r.norm_b): r.score for r in scored}
     assert by_pair[("ada lovelace", "a lovelace")] >= 0.9
     assert by_pair[("queryforge", "brightware")] < 0.3
+
+
+def test_context_boost_links_ambiguous_alias(spark):
+    """VERDICT r2 missing #5: shared-context evidence. Two forms whose
+    string score sits below threshold must link when they co-occur with
+    the same third-party norms (context_weight > 0), while a same-score
+    pair with disjoint contexts must stay unlinked. context_weight=0
+    must reproduce pure string scoring exactly."""
+    from pysql2neo4j_spark.functions.text import adaptive_containment
+    from pysql2neo4j_spark.operators.linking import (
+        DEFAULT_THRESHOLD,
+        link_candidates,
+    )
+
+    # string score of the target pair: measured, must be BELOW threshold
+    probe = spark.createDataFrame(
+        [("marla quint", "marla kwint")], "norm_a string, norm_b string"
+    ).select(adaptive_containment(F.col("norm_a"), F.col("norm_b")).alias("s"))
+    s = probe.collect()[0].s
+    assert s < DEFAULT_THRESHOLD, s
+
+    def m(conv, norm):
+        return (conv, 0, f"{conv}:{norm}", norm, norm, 0, 1, "user")
+
+    shared_ctx = ["acme rockets", "tunnel paint", "desert mesa"]
+    rows = []
+    # both target forms co-occur with the SAME three partners
+    for i, conv in enumerate(["c1", "c2", "c3"]):
+        rows += [m(conv, "marla quint"), m(conv, shared_ctx[i])]
+    for i, conv in enumerate(["c4", "c5", "c6"]):
+        rows += [m(conv, "marla kwint"), m(conv, shared_ctx[i])]
+    # decoy with the same string similarity but DISJOINT context
+    probe2 = spark.createDataFrame(
+        [("marla qwint", "marla kwint")], "norm_a string, norm_b string"
+    ).select(adaptive_containment(F.col("norm_a"), F.col("norm_b")).alias("s"))
+    rows += [m("c7", "marla qwint"), m("c7", "other topic"),
+             m("c8", "marla qwint"), m("c8", "unrelated thing")]
+
+    from pysql2neo4j_spark.schemas import MENTIONS_SCHEMA
+
+    mentions = spark.createDataFrame(rows, schema=MENTIONS_SCHEMA)
+
+    _, edges0 = link_candidates(mentions, context_weight=0.0)
+    got0 = {(r.norm_a, r.norm_b) for r in edges0.select("norm_a", "norm_b").collect()}
+    assert ("marla kwint", "marla quint") not in got0  # string-only: no link
+
+    _, edges1 = link_candidates(mentions, context_weight=0.4)
+    got1 = {(r.norm_a, r.norm_b) for r in edges1.select("norm_a", "norm_b").collect()}
+    assert ("marla kwint", "marla quint") in got1  # context closes the gap
+    # decoy shares a string shape with the target but no context
+    if probe2.collect()[0].s < DEFAULT_THRESHOLD:
+        assert ("marla kwint", "marla qwint") not in got1
