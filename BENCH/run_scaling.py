@@ -82,12 +82,18 @@ def spark_submit(cores: int, convs: int, zpath: str, out: str, job_parts: int) -
         "--buckets", str(job_parts),
     ]
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
-    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
-    for line in reversed(proc.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"no JSON from spark-submit (rc={proc.returncode}):\n"
-                       f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+    last_err = ""
+    for attempt in range(2):  # shared host: one retry absorbs a transient
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        last_err = (f"no JSON from spark-submit (rc={proc.returncode}):\n"
+                    f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+        print(f"local[{cores}] attempt {attempt + 1} failed; retrying", flush=True)
+        shutil.rmtree(out, ignore_errors=True)
+        time.sleep(15)
+    raise RuntimeError(last_err)
 
 
 def stage_medians(runs: list[dict]) -> dict[str, float]:
