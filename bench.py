@@ -94,9 +94,37 @@ def main() -> None:
     try:
         transcripts = read_transcripts(spark, corpus_path)
         n_turns = transcripts.count()
+        cfg = PipelineConfig(n_buckets=max(cpus, 8))
         t0 = time.time()
-        build_graph(spark, transcripts, out, PipelineConfig(n_buckets=max(cpus, 8)))
+        build_graph(spark, transcripts, out, cfg)
         kg_sec = round(time.time() - t0, 3)
+
+        # incremental-finalize economics (side metric, NOT in the
+        # headline total): full finalize over the committed IR, then a
+        # 5%-of-convs delta append + DELTA finalize — the number that
+        # matters at 10^12 turns, where finalize cadence is daily and
+        # the delta is a fraction of a percent.
+        from pyspark.sql import functions as F
+
+        from pysql2neo4j_spark.plans.incremental import finalize_graph
+        from pysql2neo4j_spark.plans.pipeline import extract_stage
+
+        t0 = time.time()
+        finalize_graph(spark, out, cfg, stage="extract")
+        full_sec = round(time.time() - t0, 3)
+        delta = transcripts.filter(
+            F.pmod(F.xxhash64("conv_id"), F.lit(20)) == 0
+        ).withColumn("conv_id", F.concat(F.lit("d"), F.col("conv_id")))
+        extract_stage(spark, delta, out, cfg, resume=False)
+        t0 = time.time()
+        res_d = finalize_graph(spark, out, cfg, stage="extract")
+        delta_sec = round(time.time() - t0, 3)
+        finalize = {
+            "full_sec": full_sec,
+            "delta_sec": delta_sec,
+            "delta_ir_rows": res_d["metrics"]["ir_mention_rows_read"],
+            "mode": res_d["metrics"]["mode"],
+        }
     finally:
         shutil.rmtree(out, ignore_errors=True)
     timings["kg_build"] = kg_sec
@@ -113,6 +141,7 @@ def main() -> None:
                 "cores": cpus,
                 "kg_turns": n_turns,
                 "kg_turns_per_sec": round(n_turns / kg_sec, 1),
+                "kg_finalize": finalize,
             }
         )
     )
