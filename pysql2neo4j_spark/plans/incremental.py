@@ -108,14 +108,82 @@ def _publish(spark: SparkSession, out_dir: str, nodes: DataFrame, edges: DataFra
     return nodes_out, edges_out
 
 
+def _bucket_of(col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+def _publish_delta(
+    spark: SparkSession,
+    out_dir: str,
+    nodes: DataFrame,
+    untouched: DataFrame,
+    merged: DataFrame,
+    affected: DataFrame,
+    cfg: PipelineConfig,
+):
+    """Publish a delta finalize: nodes rewrite fully (vocabulary-sized),
+    edges rewrite ONLY the affected buckets via dynamic partition
+    overwrite — every other bucket's files are left byte-identical
+    (the parquet-seam analogue of an Iceberg overwrite-by-filter
+    snapshot; tests assert untouched bucket files keep their mtimes).
+    Reads come from the versioned STATE dirs, never from the publish
+    dir being overwritten, so there is no read-under-write race."""
+    import shutil as _shutil
+
+    from pyspark.sql import types as T
+
+    write_bucketed(nodes, os.path.join(out_dir, "nodes"), "entity_id",
+                   n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
+
+    edges_path = os.path.join(out_dir, "edges")
+    n = cfg.n_entity_buckets
+    affected_pks = sorted(r.part_key for r in affected.collect())  # <= n_buckets
+    aff = F.broadcast(spark.createDataFrame([(int(p),) for p in affected_pks] or [(None,)],
+                                            "part_key INT"))
+    to_write = (
+        merged.withColumn("part_key", _bucket_of("src_entity", n))
+        .unionByName(untouched.withColumn("part_key", _bucket_of("src_entity", n)))
+        .join(aff, on="part_key", how="left_semi")
+        .select(*[f.name for f in EDGES_SCHEMA.fields], "part_key")
+    )
+    to_write = to_write.repartition(max(len(affected_pks), 1), "part_key")
+    written_pks = set()
+    if affected_pks:
+        to_write = to_write.localCheckpoint(eager=True)
+        written_pks = {r.part_key for r in to_write.select("part_key").distinct().collect()}
+        (
+            to_write.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_key")
+            .parquet(edges_path)
+        )
+    # an affected bucket whose every row MOVED elsewhere has no rows in
+    # to_write — dynamic overwrite leaves its old dir; drop it explicitly
+    for pk in set(affected_pks) - written_pks:
+        _shutil.rmtree(os.path.join(edges_path, f"part_key={pk}"), ignore_errors=True)
+
+    part_f = T.StructField("part_key", T.IntegerType(), True)
+    nodes_out = spark.read.schema(T.StructType(NODES_SCHEMA.fields + [part_f])).parquet(
+        os.path.join(out_dir, "nodes"))
+    edges_out = spark.read.schema(T.StructType(EDGES_SCHEMA.fields + [part_f])).parquet(
+        edges_path)
+    return nodes_out, edges_out
+
+
 def _merge_edges(
-    prior: DataFrame, delta: DataFrame, remap_changed: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """(merged_edges, touched_prior_marker): remap prior endpoints whose
+    prior: DataFrame, delta: DataFrame, remap_changed: DataFrame, n_buckets: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(untouched, merged, affected_buckets): remap prior endpoints whose
     entity merged, re-aggregate ONLY prior rows that were remapped or
     whose key also appears in the delta; everything else passes through
     untouched. ``remap_changed`` is (old_entity, new_entity), changed
-    rows only — entity-count-sized, broadcast."""
+    rows only — entity-count-sized, broadcast.
+
+    ``affected_buckets`` is the distinct set of publish bucket keys any
+    touched row occupies — its OLD src bucket (a remapped row must be
+    REMOVED from where it used to live) and its NEW one — so the
+    publisher can rewrite exactly those partition dirs and leave every
+    other bucket's files byte-identical."""
     keys = ["src_entity", "dst_entity", "pred"]
     rm = F.broadcast(remap_changed)
     r = (
@@ -126,6 +194,7 @@ def _merge_edges(
                 .withColumnRenamed("new_entity", "__dst_new"),
               on="dst_entity", how="left")
         .withColumn("__rm", F.col("__src_new").isNotNull() | F.col("__dst_new").isNotNull())
+        .withColumn("__old_pk", _bucket_of("src_entity", n_buckets))
         .withColumn("src_entity", F.coalesce("__src_new", "src_entity"))
         .withColumn("dst_entity", F.coalesce("__dst_new", "dst_entity"))
         .drop("__src_new", "__dst_new")
@@ -134,12 +203,12 @@ def _merge_edges(
     r = r.join(dk, on=keys, how="left").withColumn(
         "__touched", F.col("__rm") | F.coalesce(F.col("__dk"), F.lit(False))
     ).drop("__rm", "__dk")
-    untouched = r.filter(~F.col("__touched")).drop("__touched").select(
+    untouched = r.filter(~F.col("__touched")).select(
         *keys, "n_obs", "first_ts", "provenance")
-    touched = r.filter(F.col("__touched")).drop("__touched").select(
-        *keys, "n_obs", "first_ts", "provenance")
+    touched = r.filter(F.col("__touched"))
     merged = (
-        touched.unionByName(delta.select(*keys, "n_obs", "first_ts", "provenance"))
+        touched.select(*keys, "n_obs", "first_ts", "provenance")
+        .unionByName(delta.select(*keys, "n_obs", "first_ts", "provenance"))
         .groupBy(*keys)
         .agg(
             F.sum("n_obs").cast("long").alias("n_obs"),
@@ -150,7 +219,12 @@ def _merge_edges(
             ).alias("provenance"),
         )
     )
-    return untouched.unionByName(merged), touched
+    affected = (
+        touched.select(F.col("__old_pk").alias("part_key"))
+        .unionByName(merged.select(_bucket_of("src_entity", n_buckets).alias("part_key")))
+        .distinct()
+    )
+    return untouched, merged, affected
 
 
 def finalize_graph(
@@ -270,16 +344,18 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
               on="old_entity")
         .filter(F.col("old_entity") != F.col("new_entity"))
     )
-    edges, touched = _merge_edges(edges_prior, delta_edges, remap_changed)
+    untouched, merged, affected = _merge_edges(
+        edges_prior, delta_edges, remap_changed, cfg.n_entity_buckets
+    )
+    edges = untouched.unionByName(merged)
 
     # ---- commit state vN, publish, flip meta
     surf_new.write.mode("overwrite").parquet(_vdir(out_dir, version, "surface_stats"))
     f2e_new.write.mode("overwrite").parquet(_vdir(out_dir, version, "form2entity"))
     edges.write.mode("overwrite").parquet(_vdir(out_dir, version, "edges"))
-    # publish from the committed state version (stable source, and the
-    # publish overwrite never races the prior-state read)
-    edges_state = spark.read.schema(EDGES_SCHEMA).parquet(_vdir(out_dir, version, "edges"))
-    nodes_out, edges_out = _publish(spark, out_dir, nodes, edges_state, cfg)
+    nodes_out, edges_out = _publish_delta(
+        spark, out_dir, nodes, untouched, merged, affected, cfg
+    )
     _commit_state_meta(out_dir, {
         "version": version, "stage": stage,
         "finalized_run_dirs": sorted(set(meta["finalized_run_dirs"]) | set(delta_dirs)),

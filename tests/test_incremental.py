@@ -148,9 +148,47 @@ def test_incremental_finalize_merges_entities_across_batches(spark, tmp_out):
     f2e1 = {r.norm: r.entity_id for r in res1["form2entity"].collect()}
     assert f2e1["zephyrix"] != f2e1["qanata group"]  # separate pre-bridge
 
+    # snapshot every published edge-bucket file BEFORE the delta: only
+    # buckets touched by the merge may be rewritten (selective publish)
+    import glob
+
+    def file_state(root):
+        return {
+            p: (os.path.getsize(p), os.stat(p).st_mtime_ns)
+            for p in glob.glob(os.path.join(root, "part_key=*", "*.parquet"))
+        }
+
+    before = file_state(os.path.join(out, "edges"))
+
     extract_stage(spark, batch1.unionByName(batch2), out, cfg)
     res2 = finalize_graph(spark, out, cfg, stage="extract")
     assert res2["metrics"]["mode"] == "incremental"
+
+    after = file_state(os.path.join(out, "edges"))
+    # the zephyrix->postgres edge's src entity is untouched by the merge
+    # only if 'zephyrix' is NOT the merged rep; compute the untouched
+    # bucket from whichever prior src entity kept its id
+    f2e2 = {r.norm: r.entity_id for r in res2["form2entity"].collect()}
+    kept = [e for e in (f2e1["zephyrix"], f2e1["qanata group"]) if f2e2[e] == e]
+    moved = [e for e in (f2e1["zephyrix"], f2e1["qanata group"]) if f2e2[e] != e]
+    assert kept and moved  # a merge happened, one old rep survives
+    from pyspark.sql.functions import xxhash64, lit, pmod
+
+    def bucket(entity):
+        return (
+            spark.range(1)
+            .select(pmod(xxhash64(lit(entity)), lit(cfg.n_entity_buckets)).cast("int").alias("b"))
+            .collect()[0]
+            .b
+        )
+
+    moved_pk = bucket(moved[0])
+    untouched_files = {
+        p: s for p, s in before.items() if f"part_key={moved_pk}" not in p
+        and f"part_key={bucket(kept[0])}" not in p
+    }
+    for p, s in untouched_files.items():
+        assert after.get(p) == s, f"untouched bucket file rewritten: {p}"
 
     res_batch = build_graph(
         spark, batch1.unionByName(batch2), os.path.join(tmp_out, "batch"), cfg
