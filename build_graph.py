@@ -20,6 +20,10 @@ Entry points (the reconstruction's migrate.py EP1/EP2/EP3 split
   --stage extract      export-only: staged IR + manifest, stop (EP2)
   --stage materialize  import-only: graph from a committed stage store,
                        no transcript input needed (EP3)
+  --stage append       ingest-append: extract ONLY the given input as a
+                       new committed batch, then DELTA-finalize the
+                       graph (plans/incremental.py) — the batch-side
+                       twin of the streaming bridge
   --dry-run            offline mode: print every stage's physical plan,
                        run nothing, write nothing (A16)
   --config settings.ini  configman analogue; CLI flags override it
@@ -45,7 +49,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--buckets", type=int, default=None, help="conv-hash partitions")
-    ap.add_argument("--stage", choices=["all", "extract", "materialize"], default=None)
+    ap.add_argument(
+        "--stage", choices=["all", "extract", "materialize", "append"], default=None
+    )
     ap.add_argument(
         "--dry-run", action="store_true",
         help="print the physical plan of every stage, run nothing, write nothing "
@@ -125,6 +131,28 @@ def main() -> int:
     transcripts = read_transcripts(spark, input_path)
     n_turns = transcripts.count()
     warm_python_workers(spark)
+
+    if stage == "append":
+        # ingest-append: commit this input as a new batch (no partition
+        # resume filter — append semantics), then finalize incrementally:
+        # full on first call, delta afterwards.
+        from pysql2neo4j_spark.plans.incremental import finalize_graph
+
+        t0 = time.time()
+        extract_stage(spark, transcripts, out_dir, cfg, resume=False)
+        res = finalize_graph(spark, out_dir, cfg, stage="extract")
+        out = {
+            "stage": "append",
+            "turns": n_turns,
+            "mode": res["metrics"]["mode"],
+            "delta_ir_rows": res["metrics"]["ir_mention_rows_read"],
+            "nodes": res["nodes"].count(),
+            "edges": res["edges"].count(),
+            "seconds": round(time.time() - t0, 2),
+        }
+        print(json.dumps(out))
+        spark.stop()
+        return 0
 
     if stage == "extract":
         # EP2: export-only — staged IR + manifest commit, then stop.

@@ -1679,7 +1679,7 @@ def scalar_conditional(spark, sf_dir):
 # join_cross -> broadcast-bounded and trivially tiny) so the mandated
 # text-analysis family stays driver-checked; tools/selfcheck.py (run in
 # pytest) still gates every key, capped or not.
-_DEMOTED = ["window_ntile_cume", "join_cross"]
+_DEMOTED = ["window_ntile_cume", "join_cross", "set_except"]
 for _k in _DEMOTED:
     QUERIES[_k] = QUERIES.pop(_k)
     if _k in ORACLES:

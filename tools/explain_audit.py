@@ -27,6 +27,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     "window_rank": ["Window", "WindowGroupLimit"],  # rank<=3 pushed below the shuffle
     "window_range_frame": ["Window", "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,o_orderdate"],
     "join_asof": ["Window"],  # union + ordered-window, not a range join
+    "join_asof_bucketed": ["Window"],  # (key, ts-bucket) partitioned windows
+    "window_ntile_cume_part": ["Window"],  # partitioned distribution window
+    "stream_sliding": ["HashAggregate"],  # window expansion + partial agg
     "sort_limit_topk": ["TakeOrderedAndProject"],
     # flagship is the driver entry() query, not a registry key; audit()
     # resolves it specially.  The top-k must be a per-partition partial
