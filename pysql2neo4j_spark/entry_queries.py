@@ -1541,6 +1541,35 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    """SELECT d.doc_id AS media_id, CAST(f.frame_ms AS BIGINT) AS frame_ms
+       FROM documents d,
+            LATERAL (SELECT unnest(generate_series(
+                       0, greatest((length(d.text) * 37) % 4000 + 100 - 1, 0), 250
+                     )) AS frame_ms) f""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (operators/multimodal.frame_sample):
+    each video row explodes into its sampled frame timestamps — the
+    schema shape a real ffmpeg sampler emits, pure-Column
+    (sequence+explode), with durations synthesized deterministically
+    from the fixture text so DuckDB can replay the expansion exactly."""
+    from .operators.multimodal import frame_sample
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.struct(
+            ((F.length("text") * 37) % 4000 + 100).cast("int").alias("duration_ms")
+        ).alias("meta"),
+    )
+    return frame_sample(media, every_ms=250).select(
+        "media_id", F.col("frame_ms").cast("long").alias("frame_ms")
+    )
+
+
 # =====================================================================
 # Connected components on star data (oracle-checkable CC!)
 # =====================================================================

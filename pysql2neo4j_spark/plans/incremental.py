@@ -132,6 +132,16 @@ def _publish_delta(
 
     from pyspark.sql import types as T
 
+    if cfg.catalog == "iceberg":
+        # the Iceberg path would be overwrite-by-filter on the edge
+        # table (a snapshot commit); this parquet-seam implementation
+        # must not silently fall through to raw parquet under an
+        # iceberg catalog request.
+        raise RuntimeError(
+            "incremental selective publish is implemented for the parquet "
+            "seam; the iceberg path needs overwritePartitions on the edge "
+            "table (no iceberg-spark-runtime jar in this environment)"
+        )
     write_bucketed(nodes, os.path.join(out_dir, "nodes"), "entity_id",
                    n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
 

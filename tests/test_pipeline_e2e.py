@@ -166,3 +166,43 @@ def test_links_ir_table(spark, transcripts_df, tmp_out):
     assert links.count() == n_mentions
     bad = links.filter("score <= 0 OR score > 1 OR rank <> 1").count()
     assert bad == 0
+
+
+def test_pr_gate_holds_across_corpus_seeds(spark, tmp_out):
+    """Property check: the gate is not tuned to seed 42 — regenerating
+    the corpus under other seeds (different template draws, alias
+    subsets, conversation shapes) must still round-trip through
+    extraction -> linking -> CC -> materialization exactly.
+
+    Both sides are canonicalized through the gazetteer FOR EVALUATION
+    (the frozen oracle already does; the pipeline still never sees it):
+    at small corpora an entity's gazetteer-min alias may simply never be
+    observed, in which case the pipeline's min-OBSERVED-norm rep differs
+    from the oracle's min-gazetteer-norm rep with both clusterings
+    correct — e.g. seed 7 @60 convs observes 'marivosa' but never the
+    typo alias 'maivosa' that the full-gazetteer min picks. Mapping
+    reps -> gazetteer entity makes the property test about clustering +
+    extraction, not about which alias happened to appear."""
+    from pysql2neo4j_spark.corpus import generate_corpus
+    from pysql2neo4j_spark.oracle_extractor import alias_to_canonical
+    from pysql2neo4j_spark.schemas import TRANSCRIPT_SCHEMA
+
+    a2c = alias_to_canonical()
+
+    for seed in (7, 1234):
+        pdf, _ = generate_corpus(n_convs=60, seed=seed)
+        df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+        res = build_graph(spark, df, f"{tmp_out}_s{seed}", PipelineConfig(n_buckets=8))
+        got = {
+            (a2c[s], p_, a2c[o])
+            for s, p_, o in map(tuple, _canon_triples(res).collect())
+        }
+        want = {
+            (a2c[r.subj_rep], r.pred, a2c[r.obj_rep])
+            for r in reference_canonical_triples(pdf).itertuples(index=False)
+        }
+        assert got == want, (seed, len(got - want), len(want - got))
+        # the gazetteer-mapping must not paper over SPLIT entities: every
+        # recovered entity maps to a distinct gazetteer entity
+        reps = {r.entity_id for r in res["nodes"].select("entity_id").collect()}
+        assert len(reps) == len({a2c[x] for x in reps}), seed
