@@ -251,6 +251,12 @@ def finalize_graph(
     ckpt = CheckpointManager(out_dir)
     committed = ckpt.committed_run_dirs(spark, stage)
     meta = read_state_meta(out_dir)
+    if meta and meta["stage"] != stage:
+        raise ValueError(
+            f"finalize state at {out_dir} was built from stage "
+            f"'{meta['stage']}' but this call asked for '{stage}' — "
+            "mixing IR stages in one state would silently double-count"
+        )
     done = set(meta["finalized_run_dirs"]) if meta else set()
     delta_dirs = [d for d in committed if d not in done]
     version = (meta["version"] + 1) if meta else 0
@@ -331,14 +337,21 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
     # ---- 2/3. delta linking + CC over membership + new edges
     forms_all = surf_new.groupBy("norm").agg(F.sum("n").alias("n_mentions"))
     new_norms = forms_all.join(f2e_prior.select("norm"), on="norm", how="left_anti")
-    pairs = delta_candidate_pairs(
-        forms_all, new_norms, bands=cfg.bands, rows=cfg.rows, max_block=cfg.max_block)
-    new_edges = score_pairs(pairs, cfg.threshold).select("norm_a", "norm_b")
-    membership = f2e_prior.filter(F.col("norm") != F.col("entity_id")).select(
-        F.col("norm").alias("norm_a"), F.col("entity_id").alias("norm_b"))
-    f2e_new = canonical_entities(
-        forms_all, new_edges.unionByName(membership), n_partitions=cfg.cc_partitions
-    ).localCheckpoint(eager=True)  # small; reused by nodes, edges, remap
+    if new_norms.isEmpty():
+        # no new vocabulary (the common steady-state batch): components
+        # cannot change — new edges require a new form — so blocking,
+        # scoring, and the CC superstep loop are all skipped. Only the
+        # counts (nodes) and the delta edge rollups below still run.
+        f2e_new = f2e_prior
+    else:
+        pairs = delta_candidate_pairs(
+            forms_all, new_norms, bands=cfg.bands, rows=cfg.rows, max_block=cfg.max_block)
+        new_edges = score_pairs(pairs, cfg.threshold).select("norm_a", "norm_b")
+        membership = f2e_prior.filter(F.col("norm") != F.col("entity_id")).select(
+            F.col("norm").alias("norm_a"), F.col("entity_id").alias("norm_b"))
+        f2e_new = canonical_entities(
+            forms_all, new_edges.unionByName(membership), n_partitions=cfg.cc_partitions
+        ).localCheckpoint(eager=True)  # small; reused by nodes, edges, remap
 
     # ---- 4. nodes from merged vocab state (zero fact re-scan)
     per_surface = surf_new.join(F.broadcast(f2e_new), on="norm").select(
