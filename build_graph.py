@@ -53,6 +53,12 @@ def main() -> int:
         "--stage", choices=["all", "extract", "materialize", "append"], default=None
     )
     ap.add_argument(
+        "--verify-resume", action="store_true",
+        help="before resuming, recompute committed partitions' input "
+             "fingerprints and refuse on mismatch (one column-pruned pass "
+             "over committed input — audit tool, not a per-run default)",
+    )
+    ap.add_argument(
         "--dry-run", action="store_true",
         help="print the physical plan of every stage, run nothing, write nothing "
              "(A16 offline-mode analogue)",
@@ -131,6 +137,15 @@ def main() -> int:
     transcripts = read_transcripts(spark, input_path)
     n_turns = transcripts.count()
     warm_python_workers(spark)
+
+    if args.verify_resume and resume:
+        from pysql2neo4j_spark.plans.checkpoint import verify_resume_integrity
+        from pysql2neo4j_spark.plans.pipeline import STAGE_EXTRACT
+
+        n_ok = verify_resume_integrity(
+            spark, transcripts, out_dir, STAGE_EXTRACT, n_buckets=cfg.n_buckets
+        )
+        print(json.dumps({"verify_resume": "ok", "partitions_checked": n_ok}))
 
     if stage == "append":
         # ingest-append: commit this input as a new batch (no partition

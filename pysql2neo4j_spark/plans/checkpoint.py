@@ -108,6 +108,75 @@ class CheckpointManager:
         return sorted(r.run_dir for r in rows)
 
 
+class ResumeIntegrityError(RuntimeError):
+    """A committed partition's CURRENT input no longer matches the
+    fingerprint recorded at commit time — resuming would silently serve
+    stale IR for rows added/changed after the commit (the resume filter
+    drops every row of a committed partition, whatever its content)."""
+
+
+def verify_resume_integrity(
+    spark: SparkSession,
+    turns: DataFrame,
+    out_dir: str,
+    stage: str,
+    n_buckets: int | None = None,
+) -> int:
+    """Recompute the order-independent input fingerprint of every
+    COMMITTED partition from the current input and compare against the
+    manifest. Returns the number of partitions checked; raises
+    ``ResumeIntegrityError`` listing mismatched part_keys.
+
+    Cost: one column-pruned scan of (conv_id, turn_idx, text) over the
+    committed partitions — deliberately NOT run inside every resume
+    (at 10^12 turns that is a full input pass); call it from audit
+    tooling / --verify-resume when input immutability is in doubt."""
+    if "part_key" not in turns.columns:
+        if n_buckets is None:
+            raise ValueError("pass n_buckets (the commit-time bucket count) "
+                             "when turns lacks a part_key column")
+        turns = with_part_key(turns, n_buckets)
+    ckpt = CheckpointManager(out_dir)
+    recorded = (
+        ckpt.manifest(spark)
+        .filter(F.col("stage") == stage)
+        .select(
+            F.col("partition_key").alias("part_key"),
+            F.col("n_rows").alias("rec_rows"),
+            F.col("input_fingerprint").alias("rec_fp"),
+        )
+    )
+    current = (
+        turns.select("part_key", "conv_id", "turn_idx", "text")
+        .join(F.broadcast(recorded.select("part_key")), on="part_key", how="left_semi")
+        .groupBy("part_key")
+        .agg(
+            F.count("*").alias("cur_rows"),
+            F.hex(F.bit_xor(F.xxhash64("conv_id", "turn_idx", "text"))).alias("cur_fp"),
+        )
+    )
+    joined = recorded.join(current, on="part_key", how="left")
+    bad = joined.filter(
+        (F.col("cur_rows").isNull())
+        | (F.col("cur_rows") != F.col("rec_rows"))
+        | (F.col("cur_fp") != F.col("rec_fp"))
+    ).collect()
+    if bad:
+        detail = ", ".join(
+            f"part_key={r.part_key} (committed {r.rec_rows} rows fp={r.rec_fp}, "
+            f"current {r.cur_rows} rows fp={r.cur_fp})"
+            for r in sorted(bad, key=lambda r: r.part_key)[:10]
+        )
+        raise ResumeIntegrityError(
+            f"{len(bad)} committed partition(s) of stage '{stage}' no longer "
+            f"match their manifest fingerprints: {detail}" +
+            (" …" if len(bad) > 10 else "") +
+            " — the input changed after commit; re-extract those partitions "
+            "(or ingest the new rows as an append batch) instead of resuming"
+        )
+    return recorded.count()
+
+
 def partition_metrics(turns: DataFrame, triples: DataFrame) -> DataFrame:
     """Per-partition lineage: input row count, emitted-triple count, and
     an order-independent fingerprint of the input rows (XOR of

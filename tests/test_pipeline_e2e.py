@@ -206,3 +206,47 @@ def test_pr_gate_holds_across_corpus_seeds(spark, tmp_out):
         # recovered entity maps to a distinct gazetteer entity
         reps = {r.entity_id for r in res["nodes"].select("entity_id").collect()}
         assert len(reps) == len({a2c[x] for x in reps}), seed
+
+
+def test_verify_resume_integrity_detects_mutated_partition(
+    spark, transcripts_df, tmp_out
+):
+    """The resume filter drops EVERY row of a committed partition, so
+    input mutated after commit silently vanishes on resume; the audit
+    check must catch exactly that and pass on untouched input."""
+    import pytest
+
+    from pysql2neo4j_spark.plans.checkpoint import (
+        ResumeIntegrityError,
+        verify_resume_integrity,
+    )
+    from pysql2neo4j_spark.plans.pipeline import STAGE_EXTRACT, extract_stage
+
+    cfg = PipelineConfig(n_buckets=8)
+    extract_stage(spark, transcripts_df, tmp_out, cfg)
+
+    n = verify_resume_integrity(
+        spark, transcripts_df, tmp_out, STAGE_EXTRACT, n_buckets=cfg.n_buckets
+    )
+    assert n > 0  # unchanged input: all committed partitions verify
+
+    a_conv = transcripts_df.select("conv_id").first().conv_id
+    mutated = transcripts_df.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == a_conv) & (F.col("turn_idx") == 0),
+            F.concat(F.col("text"), F.lit(" EDITED")),
+        ).otherwise(F.col("text")),
+    )
+    with pytest.raises(ResumeIntegrityError, match="no longer match"):
+        verify_resume_integrity(
+            spark, mutated, tmp_out, STAGE_EXTRACT, n_buckets=cfg.n_buckets
+        )
+
+    # rows ADDED to a committed partition are also caught (count drift)
+    extra = transcripts_df.limit(1).withColumn("turn_idx", F.lit(10_000))
+    with pytest.raises(ResumeIntegrityError, match="no longer match"):
+        verify_resume_integrity(
+            spark, transcripts_df.unionByName(extra), tmp_out,
+            STAGE_EXTRACT, n_buckets=cfg.n_buckets,
+        )
