@@ -952,6 +952,62 @@ def kg_multihop_chain(spark, sf_dir):
     )
 
 
+@register(
+    "kg_degree_distribution",
+    """WITH deg AS (
+         SELECT o_custkey AS node_id, CAST(count(*) AS BIGINT) AS degree
+         FROM orders GROUP BY o_custkey
+       )
+       SELECT CAST(floor(ln(degree) / ln(2)) AS BIGINT) AS degree_bucket,
+              CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(min(degree) AS BIGINT) AS min_degree,
+              CAST(max(degree) AS BIGINT) AS max_degree
+       FROM deg GROUP BY 1""",
+)
+def kg_degree_distribution(spark, sf_dir):
+    """Graph-analytics over the materialized edge set: log2-bucketed
+    out-degree histogram (the first thing a user profiles on a KG —
+    skew shows up here before it bites a join). Two hash aggregates,
+    fully partial-aggregated; no windows, no collects."""
+    o = _t(spark, sf_dir, "orders")
+    deg = o.groupBy(F.col("o_custkey").alias("node_id")).agg(
+        F.count("*").alias("degree")
+    )
+    return deg.groupBy(
+        F.floor(F.log2("degree")).cast("long").alias("degree_bucket")
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("degree").cast("long").alias("min_degree"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
+
+
+@register(
+    "scalar_regex",
+    """SELECT doc_id,
+              regexp_extract(text, '^(\\w+)', 1) AS first_word,
+              regexp_replace(text, '[0-9]', '#', 'g') AS digits_masked,
+              CAST(regexp_matches(text, 'the|and') AS INT) AS has_kw,
+              CAST(length(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS BIGINT) AS n_tokens
+       FROM documents""",
+)
+def scalar_regex(spark, sf_dir):
+    """Regex scalar battery over document text: extract, replace,
+    rlike, and a token-count-by-deletion idiom — all JVM-side Column
+    expressions (the web-corpus text-wrangling shape), no Python in
+    the plan."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("text", r"[0-9]", "#").alias("digits_masked"),
+        F.col("text").rlike("the|and").cast("int").alias("has_kw"),
+        (F.length(F.regexp_replace("text", r"[^ ]", "")) + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
 # =====================================================================
 # Streaming semantics (batch-equivalent oracle; true streaming in
 # pysql2neo4j_spark/streaming + tests/test_streaming.py)
@@ -1708,7 +1764,13 @@ def scalar_conditional(spark, sf_dir):
 # join_cross -> broadcast-bounded and trivially tiny) so the mandated
 # text-analysis family stays driver-checked; tools/selfcheck.py (run in
 # pytest) still gates every key, capped or not.
-_DEMOTED = ["window_ntile_cume", "join_cross", "set_except"]
+_DEMOTED = [
+    "window_ntile_cume",  # global fixture; _part variant is the scale shape
+    "join_cross",         # broadcast-bounded, trivially tiny
+    "set_except",         # set_except_all is the stronger EXCEPT check
+    "agg_cube",           # cube = grouping-sets sugar; both others in cap
+    "set_intersect",      # set_union covers the set-op family in cap
+]
 for _k in _DEMOTED:
     QUERIES[_k] = QUERIES.pop(_k)
     if _k in ORACLES:
