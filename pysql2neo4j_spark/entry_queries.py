@@ -1202,6 +1202,62 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
 
 
+@register(
+    "dedup_keep_best",
+    "WITH "
+    + _SQL_SHINGLES
+    + """,
+  ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+  sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+  pairs AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+    FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+  ),
+  dup AS (
+    SELECT id_a, id_b
+    FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.8
+  )
+  SELECT d.id_a, d.id_b,
+         CASE WHEN length(ta.text) > length(tb.text) THEN d.id_a
+              WHEN length(tb.text) > length(ta.text) THEN d.id_b
+              ELSE least(d.id_a, d.id_b) END AS keep_id,
+         CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS keep_chars
+  FROM dup d
+  JOIN documents ta ON ta.doc_id = d.id_a
+  JOIN documents tb ON tb.doc_id = d.id_b""",
+)
+def dedup_keep_best(spark, sf_dir):
+    """Keeper election among NEAR-duplicates: for each detected pair,
+    keep the higher-quality member (longer text; deterministic min-id
+    tiebreak) — what a training-data pipeline actually does after
+    detection: drop the truncated/mangled variant, not an arbitrary
+    one. Detection reuses the inverted-index Jaccard pairs; the quality
+    join is a broadcast of the (tiny) pair set against the docs."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    q = d.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    j = (
+        F.broadcast(pairs)
+        .join(q.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_chars", "ca"), on="id_a")
+        .join(q.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_chars", "cb"), on="id_b")
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        F.when(F.col("ca") > F.col("cb"), F.col("id_a"))
+        .when(F.col("cb") > F.col("ca"), F.col("id_b"))
+        .otherwise(F.least("id_a", "id_b"))
+        .alias("keep_id"),
+        F.greatest("ca", "cb").alias("keep_chars"),
+    )
+
+
 @register("dedup_minhash_lsh", _SQL_JACCARD_PAIRS.format(th=0.8))
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + banded LSH with exact verification. The oracle is the
@@ -1770,6 +1826,7 @@ _DEMOTED = [
     "set_except",         # set_except_all is the stronger EXCEPT check
     "agg_cube",           # cube = grouping-sets sugar; both others in cap
     "set_intersect",      # set_union covers the set-op family in cap
+    "join_smj",           # physical-strategy fixture (SMJ hint, 3 rows)
 ]
 for _k in _DEMOTED:
     QUERIES[_k] = QUERIES.pop(_k)
