@@ -52,8 +52,12 @@ def audit(spark, keys=None, sf_dir: str = "/root/testdata/sf0.001") -> dict[str,
     so a plan-hygiene regression fails CI, not just this manual tool."""
     from pysql2neo4j_spark.entry_queries import QUERIES, flagship
 
+    # default scope: EVERY registered query (+ the flagship). Keys with
+    # an EXPECTATIONS entry get their positive plan assertions; every
+    # plan — expectations or not — is scanned for the forbidden
+    # patterns (row-at-a-time Python anywhere in the registry is a bug).
     results: dict[str, list[str]] = {}
-    for key in sorted(keys or EXPECTATIONS):
+    for key in sorted(keys or (set(QUERIES) | {"flagship"})):
         fn = flagship if key == "flagship" else QUERIES[key]
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(
