@@ -108,6 +108,18 @@ class CheckpointManager:
         return sorted(r.run_dir for r in rows)
 
 
+def _hex_fp_to_long(col):
+    """Parse ``F.hex(<long>)`` output (uppercase, no leading zeros,
+    two's-complement for negatives) back to the signed long so
+    fingerprints can be XOR-combined. Split into two 32-bit halves —
+    ``conv`` + a single long cast of the full 16 digits would overflow
+    under ANSI for values past Long.MAX; ``shiftleft`` wraps bitwise."""
+    p = F.lpad(col, 16, "0")
+    hi = F.conv(F.substring(p, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(p, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 class ResumeIntegrityError(RuntimeError):
     """A committed partition's CURRENT input no longer matches the
     fingerprint recorded at commit time — resuming would silently serve
@@ -137,13 +149,18 @@ def verify_resume_integrity(
                              "when turns lacks a part_key column")
         turns = with_part_key(turns, n_buckets)
     ckpt = CheckpointManager(out_dir)
+    # a partition may carry MULTIPLE manifest commits (--stage append,
+    # streaming batches): each batch records its own (n_rows, fp), so
+    # compare against the per-partition AGGREGATE — sum of rows and XOR
+    # of fingerprints, which is exact because the batches' row sets are
+    # disjoint and the fingerprint is itself an XOR of row hashes.
     recorded = (
         ckpt.manifest(spark)
         .filter(F.col("stage") == stage)
-        .select(
-            F.col("partition_key").alias("part_key"),
-            F.col("n_rows").alias("rec_rows"),
-            F.col("input_fingerprint").alias("rec_fp"),
+        .groupBy(F.col("partition_key").alias("part_key"))
+        .agg(
+            F.sum("n_rows").cast("long").alias("rec_rows"),
+            F.hex(F.bit_xor(_hex_fp_to_long(F.col("input_fingerprint")))).alias("rec_fp"),
         )
     )
     current = (

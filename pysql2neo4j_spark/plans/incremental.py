@@ -189,6 +189,14 @@ def _merge_edges(
     untouched. ``remap_changed`` is (old_entity, new_entity), changed
     rows only — entity-count-sized, broadcast.
 
+    Touched-ness is decided by KEY, not per-row: a prior row remapped
+    ONTO a key that another (unremapped, non-delta) prior row already
+    holds must drag that second row into the re-aggregation too, or the
+    output carries two rows for one (src,dst,pred) with split n_obs.
+    So touched_keys = (post-remap keys of remapped rows) UNION (delta
+    keys), and ALL post-remap prior rows split by membership in that
+    set.
+
     ``affected_buckets`` is the distinct set of publish bucket keys any
     touched row occupies — its OLD src bucket (a remapped row must be
     REMOVED from where it used to live) and its NEW one — so the
@@ -209,10 +217,19 @@ def _merge_edges(
         .withColumn("dst_entity", F.coalesce("__dst_new", "dst_entity"))
         .drop("__src_new", "__dst_new")
     )
-    dk = delta.select(*keys).distinct().withColumn("__dk", F.lit(True))
-    r = r.join(dk, on=keys, how="left").withColumn(
-        "__touched", F.col("__rm") | F.coalesce(F.col("__dk"), F.lit(False))
-    ).drop("__rm", "__dk")
+    # re-alias the key columns so touched_keys gets fresh attribute ids
+    # (it derives from r — the join below would otherwise be a self-join
+    # on shared attributes)
+    remapped_keys = r.filter(F.col("__rm")).select(
+        *[F.col(k).alias(k) for k in keys])
+    touched_keys = (
+        remapped_keys.unionByName(delta.select(*keys))
+        .distinct()
+        .withColumn("__tk", F.lit(True))
+    )
+    r = r.join(touched_keys, on=keys, how="left").withColumn(
+        "__touched", F.coalesce(F.col("__tk"), F.lit(False))
+    ).drop("__rm", "__tk")
     untouched = r.filter(~F.col("__touched")).select(
         *keys, "n_obs", "first_ts", "provenance")
     touched = r.filter(F.col("__touched"))
@@ -266,6 +283,22 @@ def finalize_graph(
     if not delta_dirs:
         # nothing new: current state is the answer
         return _read_published(spark, out_dir, cfg, meta, mode="noop")
+    if cfg.context_weight or meta.get("context_weight", 0.0):
+        # context-boosted scoring needs the co-mention neighborhoods of
+        # ALL mentions; the delta path deliberately never re-reads prior
+        # IR, so blending would silently diverge from the full build —
+        # refuse rather than break the module's exactness claim. A prior
+        # FULL finalize built with context_weight != 0 poisons the state
+        # for delta extension the same way (its entities embed context
+        # evidence the delta can't reproduce), so that raises too.
+        raise ValueError(
+            "incremental finalize does not support context_weight != 0 "
+            f"(cfg={cfg.context_weight}, state was built with "
+            f"{meta.get('context_weight', 0.0)}): context evidence "
+            "requires the full mention set, which the delta path never "
+            "reads. Run a full rebuild (fresh out_dir) or set "
+            "context_weight=0 from the start."
+        )
     return _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version)
 
 
@@ -304,6 +337,7 @@ def _finalize_full(spark, out_dir, cfg, stage, committed, version):
     res["edges"].drop("part_key").write.mode("overwrite").parquet(
         _vdir(out_dir, version, "edges"))
     _commit_state_meta(out_dir, {"version": version, "stage": stage,
+                                 "context_weight": cfg.context_weight,
                                  "finalized_run_dirs": sorted(committed)})
     res["metrics"] = {"mode": "full", "n_delta_run_dirs": len(committed),
                       "ir_mention_rows_read": int(obs_m.get["n"] or 0),
@@ -380,7 +414,7 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
         spark, out_dir, nodes, untouched, merged, affected, cfg
     )
     _commit_state_meta(out_dir, {
-        "version": version, "stage": stage,
+        "version": version, "stage": stage, "context_weight": 0.0,
         "finalized_run_dirs": sorted(set(meta["finalized_run_dirs"]) | set(delta_dirs)),
     })
     return {

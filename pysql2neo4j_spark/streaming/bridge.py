@@ -64,7 +64,13 @@ def make_extraction_sink(out_dir: str, cfg: PipelineConfig, checkpoint_location:
         spark = batch_df.sparkSession
         ckpt = CheckpointManager(out_dir)
         run_dir = f"stream-{_lineage_token(checkpoint_location)}-b{batch_id:06d}"
-        if run_dir in ckpt.committed_run_dirs(spark, STAGE_STREAM):
+        # pre-token protocol named run dirs "stream-b<NNNNNN>": a store
+        # upgraded over a live checkpoint replays its last batch under
+        # the NEW name — match the legacy name too or the replay commits
+        # that batch's rows a second time.
+        legacy_run_dir = f"stream-b{batch_id:06d}"
+        committed = ckpt.committed_run_dirs(spark, STAGE_STREAM)
+        if run_dir in committed or legacy_run_dir in committed:
             # replayed, already-committed batch: no data effects — but
             # the upstream stateful dedup still needs every partition
             # processed for its state-store commit (Spark 4 validates

@@ -201,3 +201,122 @@ def test_incremental_finalize_merges_entities_across_batches(spark, tmp_out):
         == f2e2["qanata group"]
         == f2e2["zephyrix qanata group"]
     )  # merged, and prior edges remapped (edge equality above proves it)
+
+
+def test_incremental_merge_edge_key_collision(spark, tmp_out):
+    """ADVICE r3 (high): a prior edge remapped ONTO a key already held
+    by another prior edge — one whose own endpoints are unremapped and
+    whose key is absent from the delta — must drag that second row into
+    the re-aggregation. The output carries ONE row per (src,dst,pred)
+    with the n_obs summed, exactly like the full rebuild, not two rows
+    with split counts."""
+    import datetime as dt
+
+    from pysql2neo4j_spark.plans.pipeline import extract_stage
+    from pysql2neo4j_spark.schemas import TRANSCRIPT_SCHEMA
+
+    cfg = PipelineConfig(n_buckets=8, cc_partitions=2)
+    out = os.path.join(tmp_out, "graph")
+    ts = dt.datetime(2026, 1, 1)
+
+    probe = spark.createDataFrame(
+        [(f"conv-{i}",) for i in range(32)], "conv_id string"
+    ).select(
+        "conv_id", F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).alias("b")
+    ).collect()
+    seen: dict[int, str] = {}
+    for r in probe:
+        seen.setdefault(r.b, r.conv_id)
+        if len(seen) == 3:
+            break
+    c1, c2, c3 = list(seen.values())[:3]
+
+    def turns(rows):
+        return spark.createDataFrame(
+            [(c, i, "user", t, None, ts) for c, i, t in rows], schema=TRANSCRIPT_SCHEMA
+        )
+
+    # batch 1: BOTH pre-merge entities carry a 'uses redis' edge.
+    # batch 2's bridging form targets POSTGRES, so the colliding key
+    # (merged_rep, redis, uses) never appears in the delta edge set.
+    batch1 = turns(
+        [
+            (c1, 0, "Zephyrix uses Redis."),
+            (c2, 0, "Qanata Group uses Redis."),
+        ]
+    )
+    batch2 = turns([(c3, 0, "Zephyrix Qanata Group uses Postgres.")])
+
+    extract_stage(spark, batch1, out, cfg)
+    res1 = finalize_graph(spark, out, cfg, stage="extract")
+    f2e1 = {r.norm: r.entity_id for r in res1["form2entity"].collect()}
+    assert f2e1["zephyrix"] != f2e1["qanata group"]
+
+    extract_stage(spark, batch1.unionByName(batch2), out, cfg)
+    res2 = finalize_graph(spark, out, cfg, stage="extract")
+    assert res2["metrics"]["mode"] == "incremental"
+
+    f2e2 = {r.norm: r.entity_id for r in res2["form2entity"].collect()}
+    assert f2e2["zephyrix"] == f2e2["qanata group"]  # merge happened
+
+    edge_rows = res2["edges"].select(
+        "src_entity", "dst_entity", "pred", "n_obs"
+    ).collect()
+    keys = [(r.src_entity, r.dst_entity, r.pred) for r in edge_rows]
+    assert len(keys) == len(set(keys)), f"duplicate edge keys: {sorted(keys)}"
+    redis = [r for r in edge_rows if r.dst_entity == "redis"]
+    assert len(redis) == 1 and redis[0].n_obs == 2
+
+    res_batch = build_graph(
+        spark, batch1.unionByName(batch2), os.path.join(tmp_out, "batch"), cfg
+    )
+    assert _edges_sorted(res2) == _edges_sorted(res_batch)
+    assert _nodes_sorted(res2) == _nodes_sorted(res_batch)
+
+
+def test_incremental_refuses_context_weight(spark, tmp_out):
+    """ADVICE r3 (medium): context-boosted scoring needs ALL mentions'
+    co-mention neighborhoods; the delta path never reads prior IR, so
+    finalize must refuse context_weight != 0 loudly instead of silently
+    diverging from the full build."""
+    import datetime as dt
+
+    import pytest
+
+    from pysql2neo4j_spark.plans.pipeline import extract_stage
+    from pysql2neo4j_spark.schemas import TRANSCRIPT_SCHEMA
+
+    cfg = PipelineConfig(n_buckets=8, cc_partitions=2)
+    out = os.path.join(tmp_out, "graph")
+    ts = dt.datetime(2026, 1, 1)
+
+    probe = spark.createDataFrame(
+        [(f"conv-{i}",) for i in range(32)], "conv_id string"
+    ).select(
+        "conv_id", F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).alias("b")
+    ).collect()
+    seen: dict[int, str] = {}
+    for r in probe:
+        seen.setdefault(r.b, r.conv_id)
+        if len(seen) == 2:
+            break
+    c1, c2 = list(seen.values())[:2]
+
+    def turns(rows):
+        return spark.createDataFrame(
+            [(c, i, "user", t, None, ts) for c, i, t in rows], schema=TRANSCRIPT_SCHEMA
+        )
+
+    batch1 = turns([(c1, 0, "Zephyrix uses Postgres.")])
+    batch2 = turns([(c2, 0, "Qanata Group uses Redis.")])
+
+    extract_stage(spark, batch1, out, cfg)
+    finalize_graph(spark, out, cfg, stage="extract")
+
+    extract_stage(spark, batch1.unionByName(batch2), out, cfg)
+    cw = PipelineConfig(n_buckets=8, cc_partitions=2, context_weight=0.2)
+    with pytest.raises(ValueError, match="context_weight"):
+        finalize_graph(spark, out, cw, stage="extract")
+    # with context_weight=0 the same delta proceeds normally
+    res = finalize_graph(spark, out, cfg, stage="extract")
+    assert res["metrics"]["mode"] == "incremental"

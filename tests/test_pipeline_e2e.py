@@ -250,3 +250,48 @@ def test_verify_resume_integrity_detects_mutated_partition(
             spark, transcripts_df.unionByName(extra), tmp_out,
             STAGE_EXTRACT, n_buckets=cfg.n_buckets,
         )
+
+
+def test_verify_resume_integrity_multi_commit_partition(
+    spark, transcripts_df, tmp_out
+):
+    """ADVICE r3 (medium): --stage append / streaming batches commit a
+    partition MULTIPLE times, each manifest row carrying that batch's
+    own (n_rows, fingerprint). The audit must aggregate per partition
+    (sum rows, XOR fingerprints — exact over disjoint batches) instead
+    of spuriously flagging every multi-commit partition."""
+    import pytest
+
+    from pysql2neo4j_spark.plans.checkpoint import (
+        ResumeIntegrityError,
+        verify_resume_integrity,
+    )
+    from pysql2neo4j_spark.plans.pipeline import STAGE_EXTRACT, extract_stage
+
+    cfg = PipelineConfig(n_buckets=8)
+    half = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2))
+    batch1 = transcripts_df.filter(half == 0)
+    batch2 = transcripts_df.filter(half == 1)
+
+    extract_stage(spark, batch1, tmp_out, cfg)
+    # append semantics: same partitions get a SECOND manifest commit
+    extract_stage(spark, batch2, tmp_out, cfg, resume=False)
+
+    n = verify_resume_integrity(
+        spark, transcripts_df, tmp_out, STAGE_EXTRACT, n_buckets=cfg.n_buckets
+    )
+    assert n > 0  # union of both batches verifies clean
+
+    # mutation detection still works across the aggregated fingerprints
+    a_conv = transcripts_df.select("conv_id").first().conv_id
+    mutated = transcripts_df.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == a_conv) & (F.col("turn_idx") == 0),
+            F.concat(F.col("text"), F.lit(" EDITED")),
+        ).otherwise(F.col("text")),
+    )
+    with pytest.raises(ResumeIntegrityError, match="no longer match"):
+        verify_resume_integrity(
+            spark, mutated, tmp_out, STAGE_EXTRACT, n_buckets=cfg.n_buckets
+        )

@@ -214,3 +214,52 @@ def test_stream_restart_continues_incrementally(spark, transcripts_df, tmp_out):
     dirs_after = set(ck.committed_run_dirs(spark, STAGE_STREAM))
     new_dirs = dirs_after - dirs_before
     assert new_dirs and dirs_before < dirs_after  # continued, not replayed
+
+
+def test_legacy_run_dir_replay_guard(spark, transcripts_df, tmp_out):
+    """ADVICE r3 (low): run dirs committed by the PRE-TOKEN protocol
+    ("stream-b<NNNNNN>") must still satisfy the replay guard after a
+    code upgrade — the replayed batch would otherwise stage and commit
+    its rows a second time under the new tokenized name."""
+    from pysql2neo4j_spark.operators.extraction import extract_all_flat
+    from pysql2neo4j_spark.operators.ordering import with_stable_order
+    from pysql2neo4j_spark.plans.checkpoint import partition_metrics, with_part_key
+    from pysql2neo4j_spark.streaming.bridge import make_extraction_sink
+
+    cfg = PipelineConfig(n_buckets=8)
+    out = os.path.join(tmp_out, "graph")
+    ckpt_loc = os.path.join(out, "_stream_checkpoint")
+
+    # commit batch 0 exactly as the pre-upgrade sink did: staged rows
+    # under the un-tokenized name, manifest row referencing it
+    t = with_part_key(
+        transcripts_df.withColumn("ts", F.col("ts").cast("timestamp_ntz")),
+        cfg.n_buckets,
+    )
+    staged = with_part_key(
+        extract_all_flat(with_stable_order(t.repartition(cfg.n_buckets, "part_key"))),
+        cfg.n_buckets,
+    )
+    legacy = "stream-b000000"
+    staged.write.mode("overwrite").parquet(os.path.join(out, "extracted", legacy))
+    ck = CheckpointManager(out)
+    ck.record(
+        partition_metrics(
+            t.select("part_key", "conv_id", "turn_idx", "text"),
+            staged.filter(F.col("row_type") == "t"),
+        ),
+        STAGE_STREAM,
+        run_dir=legacy,
+    )
+    before = ck.manifest(spark).count()
+
+    # upgraded sink replays batch 0 (tokenized name): must be skipped
+    sink = make_extraction_sink(out, cfg, ckpt_loc)
+    sink(transcripts_df, 0)
+    assert ck.manifest(spark).count() == before
+    assert ck.committed_run_dirs(spark, STAGE_STREAM) == [legacy]
+
+    # a genuinely NEW batch id still commits under the new naming
+    sink(transcripts_df.limit(50), 1)
+    assert ck.manifest(spark).count() > before
+    assert len(ck.committed_run_dirs(spark, STAGE_STREAM)) == 2
