@@ -36,9 +36,41 @@ def _spread(df: DataFrame) -> DataFrame:
         AFTER a scan has coalesced. The read-time fix (session.py sets
         spark.sql.files.maxPartitionBytes=32m so scans split on read)
         cannot help when the file is one row group, hence the gated
-        fallback here."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, par // 2):
+        fallback here.
+
+    The probe is ``df.inputFiles()`` + file sizes (driver-side metadata
+    only) — ``df.rdd.getNumPartitions()`` would force a DataFrame->RDD
+    plan conversion at DEFINITION time on every dedup call, the exact
+    fixed cost operators/components.py documents avoiding (VERDICT r3
+    #9). Non-scan inputs (no input files) pass through untouched:
+    their partitioning is whatever the upstream plan produced."""
+    import os
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — multi-source/non-file plans
+        files = []
+    if not files:
+        return df
+    if len(files) >= max(2, par // 2):
+        return df
+    # few files: big ones still split on read (maxPartitionBytes), so
+    # estimate the scan's partition count from bytes; only genuinely
+    # small unsplittable scans get the round-robin remedy (cheap — the
+    # data IS small; a one-row-group multi-GB file stays one task, the
+    # unfixable-by-repartition-placement case either way).
+    max_pb = 32 * 1024 * 1024  # session.py: spark.sql.files.maxPartitionBytes=32m
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else (f[5:] if f.startswith("file:") else f)
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return df  # non-local store: trust read-time splitting
+    est_parts = max(len(files), -(-total // max_pb))
+    if est_parts >= max(2, par // 2):
         return df
     return df.repartition(par)
 

@@ -26,10 +26,24 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
-    corpus, score JVM-side with zip_with/aggregate, take k per query
-    via a ranking window. Deterministic tiebreak on neighbor id."""
+    corpus, score JVM-side with zip_with/aggregate, take k per query.
+    Deterministic tiebreak on neighbor id.
+
+    Top-k is a SALTED TWO-LEVEL rank (VERDICT r3 #2): a single
+    ``Window.partitionBy(query_id)`` over the scored crossJoin would
+    shuffle EVERY query's entire scored corpus into one task's sort —
+    the per-query single-partition bottleneck at 10^9 corpus rows.
+    Level 1 ranks within (query_id, salt-of-neighbor) cells, so the
+    exchange spreads each query over ``n_salts`` tasks and each sort
+    sees corpus/n_salts rows; level 2 ranks the surviving
+    <= k * n_salts rows per query — bounded by k, not by the corpus.
+    Exact: the global top-k is a subset of the union of per-salt
+    top-ks. (Same pattern as the bounded-provenance rollup in
+    operators/graph.py.) The mapInPandas variant below additionally
+    pre-reduces map-side and is the preferred path at real dims."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -37,9 +51,18 @@ def brute_force_topk(
         "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
     )
+    salted = scored.withColumn(
+        "__salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(F.desc("score"), "neighbor_id")
+    survivors = (
+        salted.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+        .drop("__r", "__salt")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        survivors.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )

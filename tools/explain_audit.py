@@ -39,7 +39,7 @@ EXPECTATIONS: dict[str, list[str]] = {
     "kg_multihop_chain": ["BroadcastHashJoin"],
     "udf_pandas_scalar": ["ArrowEvalPython"],
     "udaf_grouped_agg": ["ArrowAggregatePython"],
-    "ann_topk_exact": ["BroadcastNestedLoopJoin"],
+    "ann_topk_exact": ["BroadcastNestedLoopJoin", "SALTED_TOPK_PROXY"],
     "multimodal_features": ["MapInPandas"],
 }
 
@@ -69,6 +69,17 @@ def audit(spark, keys=None, sf_dir: str = "/root/testdata/sf0.001") -> dict[str,
                 # BETWEEN pushes as >= and <=
                 if not re.search(r"GreaterThanOrEqual\(o_totalprice", plan):
                     problems.append("BETWEEN not pushed to scan")
+                continue
+            if want == "SALTED_TOPK_PROXY":
+                # the exact top-k must pre-reduce within (query_id,
+                # salt) cells before any per-query window — a lone
+                # Window.partitionBy(query_id) over the scored
+                # crossJoin is a single-task sort of the whole corpus
+                # per query (VERDICT r3 #2)
+                if "__salt" not in plan:
+                    problems.append(
+                        "top-k not salted: full-corpus Exchange into "
+                        "per-query partitions")
                 continue
             if want not in plan:
                 problems.append(f"missing: {want[:60]}")

@@ -66,54 +66,72 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def duckdb_con(sf_dir: str):
+    """A DuckDB connection with every star table registered as a view
+    over the same parquet the Spark side reads."""
+    from pysql2neo4j_spark.schemas import STAR_TABLES
+
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def run_registry(spark, sf_dir: str, only=None, log=print) -> list[tuple[str, str]]:
+    """Run every registered query on Spark and its oracle on DuckDB;
+    return [(key, problem)] — empty means the full registry is green.
+    This is the SAME gate `python tools/selfcheck.py` runs and the gate
+    tests/test_selfcheck.py runs in pytest."""
+    import __spark_entry__ as entry
+
+    con = duckdb_con(sf_dir)
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    failures: list[tuple[str, str]] = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, f"spark error: {exc}"))
+            log(f"FAIL {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            log(f"OK?  {name}: rows-only check, rows={len(spark_pdf)} "
+                f"cols={sorted(spark_pdf.columns)}")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {exc}"))
+            log(f"FAIL {name}: duckdb error: {exc}")
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            log(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            log(f"PASS {name}: rows={len(spark_pdf)}")
+    return failures
+
+
 def main() -> int:
     sys.path.insert(0, ".")
     import __spark_entry__ as entry
-    from pysql2neo4j_spark.schemas import STAR_TABLES
     from pysql2neo4j_spark.session import get_spark
 
     sf_dir = "/root/testdata/sf0.01"
     only = set(sys.argv[1:])
 
     spark = get_spark(app_name="selfcheck", master="local[16]")
-    con = duckdb.connect()
-    for t in STAR_TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-
-    queries = entry.queries()
-    oracles = entry.oracle_sql()
-    n_fail = 0
-    for name, fn in queries.items():
-        if only and name not in only:
-            continue
-        try:
-            sdf = fn(spark, sf_dir)
-            spark_pdf = sdf.toPandas()
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {exc}")
-            n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"OK?  {name}: rows-only check, rows={len(spark_pdf)} "
-                  f"cols={sorted(spark_pdf.columns)}")
-            continue
-        try:
-            duck_pdf = con.execute(oracles[name]).fetchdf()
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {exc}")
-            n_fail += 1
-            continue
-        problems = compare(name, spark_pdf, duck_pdf)
-        if problems:
-            n_fail += 1
-            print(f"FAIL {name}: " + "; ".join(problems))
-        else:
-            print(f"PASS {name}: rows={len(spark_pdf)}")
+    failures = run_registry(spark, sf_dir, only=only or None)
     spark.stop()
-    print(f"\n{n_fail} failures / {len(only) if only else len(queries)} checked")
-    return 1 if n_fail else 0
+    n_checked = len(only) if only else len(entry.queries())
+    print(f"\n{len(failures)} failures / {n_checked} checked")
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
