@@ -266,3 +266,122 @@ def embedding_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return cand.filter(F.col("cos_sim") >= threshold)
+
+
+# ------------------------------------------- span-level (boilerplate)
+
+def duplicated_ngram_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_total: int = 3
+) -> DataFrame:
+    """SPAN-level dedup (VERDICT r3 #5): repeated word n-gram spans —
+    boilerplate headers, templated sentences, licence blurbs — counted
+    across AND within documents. Document-granular detectors miss
+    these entirely; large-scale training-data pipelines remove them
+    separately (the duplicated-n-gram-span family of suffix-array
+    dedup, computed here at fixed n so it stays one explode + one
+    hash-aggregate).
+
+    Scale shape: positional n-grams explode to ~|tokens| rows (no
+    quadratic blowup), the count is a partial-aggregatable groupBy on
+    the span string (map-side combine collapses hot spans before the
+    shuffle). Output is repetition-bounded: only spans with
+    ``n_total >= min_total`` survive.
+
+    Returns (span, n_docs, n_total), exactly SQL-expressible."""
+    toks = tokens(F.col(text_col))
+    base = _spread(df).select(F.col(id_col).alias("doc_id"), toks.alias("l"))
+    g = base.filter(F.size("l") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("l") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("l"), i + 1, n)),
+            )
+        ).alias("span"),
+    )
+    return (
+        g.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_total"),
+        )
+        .filter(F.col("n_total") >= min_total)
+    )
+
+
+def flag_boilerplate_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_total: int = 3
+) -> DataFrame:
+    """Per-document flagged span POSITIONS: every (doc_id, pos) whose
+    n-gram span is corpus-repeated (``duplicated_ngram_spans``) — the
+    removal map a cleaning pass applies. The repeated-span set is
+    repetition-bounded (usually tiny vs the corpus), so the flag join
+    broadcasts; at boilerplate-heavy corpora Spark's AQE falls back to
+    a shuffle join on the span key."""
+    spans = duplicated_ngram_spans(df, id_col, text_col, n=n, min_total=min_total)
+    toks = tokens(F.col(text_col))
+    base = _spread(df).select(F.col(id_col).alias("doc_id"), toks.alias("l"))
+    g = base.filter(F.size("l") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("l") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("l"), i + 1, n)),
+            )
+        ).alias("pos", "span"),
+    )
+    return g.join(F.broadcast(spans.select("span")), "span", "inner").select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "span"
+    )
+
+
+# --------------------------------------- transitive keeper election
+
+def cluster_keep_best(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """CLUSTER-level keeper election (VERDICT r3 #6): pairwise election
+    (dedup_keep_best) breaks on transitive chains — A~B and B~C with
+    different pairwise winners can keep two of the three. Here the
+    verified near-dup pairs become edges, connected components
+    (operators/components.py — the same checkpointed hash-min + pointer
+    jumping the KG linker uses) group each transitive family, and ONE
+    keeper per component wins by quality (longest text, then smallest
+    id — the dedup_keep_best rule lifted to the cluster).
+
+    Scale shape: the pair set is near-dup-bounded (tiny vs the corpus),
+    CC runs on pair-incident vertices only, and the quality join
+    touches only clustered docs. Returns one row per cluster:
+    (cluster_id = min member id, n_members, member_ids, keeper_id)."""
+    from .components import connected_components
+
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    # CC's superstep loop re-evaluates its input each iteration: cut the
+    # shingle-join lineage once (pair-set-sized, tiny)
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    verts = (
+        pairs.select(F.col("id_a").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("v")))
+        .distinct()
+    )
+    comp = connected_components(
+        verts, pairs, vertex_col="v", src_col="id_a", dst_col="id_b",
+        # dup-pair graphs are near-dup-bounded (orders of magnitude
+        # smaller than the corpus): a handful of CC partitions keeps
+        # the per-superstep shuffle fixed cost low
+        n_partitions=4,
+    )
+    quality = df.select(
+        F.col(id_col).alias("id"), F.length(F.col(text_col)).alias("chars")
+    )
+    members = comp.join(quality, "id")
+    return (
+        members.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+            F.max_by(
+                "id", F.struct(F.col("chars"), (-F.col("id")).alias("nid"))
+            ).alias("keeper_id"),
+        )
+    )

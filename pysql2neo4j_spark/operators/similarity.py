@@ -304,3 +304,102 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "score", "rnk")
     )
+
+
+def ivf_cell_assignments(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign every vector to its ``n_probe`` nearest IVF cells —
+    (id, vec, centroid_id, cell_rank 1..n_probe) — with the same
+    Arrow-batched gemm kernel ``ivf_topk`` uses for its top-1
+    assignment: one BLAS matmul per batch, no shuffle, no k-times
+    crossJoin explosion. Stable argsort on (-sim) reproduces the
+    (sim desc, centroid_id asc) tiebreak the DuckDB oracle uses."""
+    import numpy as np
+
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    out_type = T.StructType(
+        [
+            T.StructField("vid", corpus.schema[id_col].dataType),
+            T.StructField("v", corpus.schema[vec_col].dataType),
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("cell_rank", T.IntegerType()),
+        ]
+    )
+    cents = [list(map(float, cc)) for cc in centroids]
+    m = min(n_probe, len(cents))
+
+    def assign_batches(batches):
+        C = np.asarray(cents, dtype="float64")
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf.iloc[:, 1].to_numpy()).astype("float64")
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = np.round(Xn @ Cn.T, 6)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :m]  # ties -> low id
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf.iloc[:, 0].values, m),
+                    "v": pdf.iloc[:, 1].values.repeat(m),
+                    "centroid_id": top.reshape(-1).astype("int32"),
+                    "cell_rank": np.tile(np.arange(1, m + 1, dtype="int32"), n),
+                }
+            )
+
+    return c.mapInPandas(assign_batches, schema=out_type)
+
+
+def ivf_join_pairs(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_probe: int = 2,
+) -> DataFrame:
+    """CORPUS-vs-CORPUS ANN (VERDICT r3 #7) — the semantic-dedup shape
+    where BOTH sides are the whole corpus, so nothing can broadcast.
+    Every vector gets a home cell (rank 1) and probes its ``n_probe``
+    nearest cells; only (probe, home) pairs sharing a cell score.
+    The cell equi-join shuffles each side once on centroid_id and pair
+    work is sum-over-cells |probes_c| x |homes_c| — the n_probe/k cost
+    dial — never all-pairs. Exact cosine verify >= threshold on the
+    candidates; pairs reachable through several shared cells dedup via
+    distinct (the score is deterministic per pair).
+
+    Recall is the IVF recall curve (BENCH/BASELINE.md): a pair is
+    found iff either member's home cell is among the other's probes —
+    near-identical vectors share a home cell at any n_probe >= 1."""
+    assigned = ivf_cell_assignments(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe
+    )
+    # one assignment pass serves both sides of the self-join; cut the
+    # kernel lineage so Catalyst sees two leaf scans, not a self-join
+    # over a Python-kernel plan (the measured analysis pathology from
+    # operators/dedup.py)
+    assigned = assigned.localCheckpoint(eager=True)
+    probes = assigned.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), "centroid_id"
+    )
+    homes = assigned.filter(F.col("cell_rank") == 1).select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), "centroid_id"
+    )
+    scored = (
+        probes.join(homes, "centroid_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+    return scored

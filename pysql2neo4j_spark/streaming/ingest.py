@@ -18,8 +18,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import TRANSCRIPT_SCHEMA
+
+# events star-table schema (streaming sources never infer)
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
 
 
 def read_transcript_stream(spark: SparkSession, path: str,
@@ -68,6 +81,67 @@ def session_conversations(stream: DataFrame, gap: str = "30 minutes",
             "n_turns",
             "max_turn",
         )
+    )
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source streaming read of the events table. ``ts`` cast
+    NTZ -> timezone-aware for watermarks (session TZ pinned UTC)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def interval_join_clicks_purchases(
+    events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (VERDICT r3 #4): each
+    click matches the same user's purchases within
+    [click_ts, click_ts + horizon]. Both sides carry a watermark and
+    the join condition bounds event-time distance, so Spark can expire
+    join state (a stream-stream join without both is unbounded state —
+    the classic production OOM). Inner join: matches emit as soon as
+    both rows arrive; the watermark governs state CLEANUP, not
+    emission. The batch twin is entry_queries.stream_stream_join
+    (DuckDB-oracle-checked); tests assert stream == batch."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""click_user = purchase_user
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + INTERVAL {horizon}"""
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("click_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
     )
 
 

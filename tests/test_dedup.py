@@ -136,3 +136,77 @@ def test_spread_definition_runs_no_jobs(spark, tmp_path):
         sc.setJobGroup("", "")
     # the plan still executes correctly afterwards
     assert plan.count() >= 0
+
+
+def test_boilerplate_span_detection(spark):
+    """Planted boilerplate: a fixed header sentence prepended to several
+    otherwise-unique documents must be flagged span-by-span, including
+    a WITHIN-document repetition; unique body text must not be."""
+    from pysql2neo4j_spark.operators.dedup import (
+        duplicated_ngram_spans,
+        flag_boilerplate_positions,
+    )
+
+    header = "subscribe to our newsletter for weekly updates"
+    docs = [
+        (1, f"{header} alpha bravo charlie delta echo foxtrot"),
+        (2, f"{header} golf hotel india juliet kilo lima"),
+        (3, f"{header} mike november oscar papa quebec romeo"),
+        # within-doc repetition only (same doc twice)
+        (4, f"{header} {header} sierra tango uniform"),
+        (5, "victor whiskey xray yankee zulu one two three four five"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+
+    spans = duplicated_ngram_spans(df, "doc_id", "text", n=5, min_total=3)
+    got = {r.span: (r.n_docs, r.n_total) for r in spans.collect()}
+    # every 5-gram inside the header occurs in docs 1-4 (5x total:
+    # once each in 1-3, twice in 4 via the repetition straddle or not)
+    hdr_tokens = header.split()
+    first_hdr_span = " ".join(hdr_tokens[:5])
+    assert first_hdr_span in got
+    n_docs, n_total = got[first_hdr_span]
+    assert n_docs == 4 and n_total >= 5
+    # unique body text flagged nowhere
+    assert not any("victor" in s or "alpha" in s for s in got)
+
+    flags = flag_boilerplate_positions(df, "doc_id", "text", n=5, min_total=3)
+    rows = flags.collect()
+    flagged_docs = {r.doc_id for r in rows}
+    assert flagged_docs == {1, 2, 3, 4}
+    # doc 4 flags the header at BOTH occurrences (pos 0 and pos 7)
+    d4 = sorted(r.pos for r in rows if r.doc_id == 4 and r.span == first_hdr_span)
+    assert d4 == [0, 7]
+    # positions index the normalized token stream
+    assert all(r.pos >= 0 for r in rows)
+
+
+def test_cluster_keeper_election_transitive_chain(spark):
+    """A~B and B~C above threshold, A~C below: pairwise election keeps
+    TWO documents (each pair's winner); cluster election must keep
+    exactly one — the component-wide quality winner."""
+    from pysql2neo4j_spark.operators.dedup import (
+        cluster_keep_best,
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"w{i:02d}" for i in range(1, 15)]
+    a = " ".join(words[0:10])                      # w01..w10
+    b = " ".join(words[2:12])                      # w03..w12
+    c = " ".join(words[4:13] + ["wfourteenlong"])  # w05..w13 + long tail
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, "unrelated totally different text here")],
+        "doc_id LONG, text STRING",
+    )
+
+    pairs = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs  # a chain
+
+    rows = cluster_keep_best(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert len(rows) == 1  # one transitive cluster, singleton 9 excluded
+    r = rows[0]
+    assert r.cluster_id == 1
+    assert sorted(r.member_ids) == [1, 2, 3]
+    assert r.n_members == 3
+    assert r.keeper_id == 3  # longest text wins across the WHOLE cluster

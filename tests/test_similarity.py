@@ -126,3 +126,47 @@ def test_ivf_trained_recall_on_planted_clusters(spark):
         hits += len(wn & gn)
         total += len(wn)
     assert hits / total >= 0.9, hits / total
+
+
+def test_ivf_join_pairs_recall_on_planted_clusters(spark):
+    """VERDICT r3 #7: corpus-vs-corpus IVF-cell join must recover
+    >=0.9 of the exact above-threshold pair set on cluster-structured
+    data — the semantic-dedup shape where neither side broadcasts."""
+    from pysql2neo4j_spark.operators.similarity import (
+        ivf_join_pairs,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 16)) * 5.0
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(20):
+            rows.append((vid, (c + rng.normal(size=16) * 0.05).tolist()))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    # exact above-threshold pair set (numpy)
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)
+    th = 0.9
+    want = {
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if S[i, j] >= th
+    }
+    assert len(want) > 100  # clusters are dense: the gate is non-vacuous
+
+    cents = train_ivf_centroids(X, k=6, seed=42, iters=5)
+    got = {
+        (r.id_a, r.id_b)
+        for r in ivf_join_pairs(corpus, cents, threshold=th, n_probe=2).collect()
+    }
+    assert got <= want | got  # sanity
+    # every found pair is exact-verified, so precision is 1.0 by
+    # construction; the gate is recall
+    assert not (got - want), "verify stage leaked below-threshold pairs"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, recall

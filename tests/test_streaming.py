@@ -86,3 +86,37 @@ def test_streaming_dedup_drops_replays(spark, corpus_pdf, tmp_out):
     got = run_to_completion(streaming_dedup_turns(stream), name="t_dedup")
     assert got.count() == 200
     assert got.groupBy("conv_id", "turn_idx").count().filter("count>1").count() == 0
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_out):
+    """VERDICT r3 #4: the watermarked stream-stream interval join must
+    emit exactly the rows of its batch twin (entry_queries.
+    stream_stream_join) on identical finite input. Inner join: matches
+    emit when both rows have arrived; all real files go into one
+    trigger so neither side's state is cleaned before its matches."""
+    import os
+
+    from pysql2neo4j_spark.entry_queries import QUERIES
+    from pysql2neo4j_spark.streaming.ingest import (
+        interval_join_clicks_purchases,
+        read_event_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = os.path.join(tmp_out, "events_src")
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(4).write.parquet(src)
+    # stream the same rows through the interval join
+    stream = read_event_stream(spark, src, max_files_per_trigger=4)
+    got = run_to_completion(
+        interval_join_clicks_purchases(stream), name="t_ssj"
+    ).withColumn("click_ts", F.col("click_ts").cast("timestamp_ntz")).withColumn(
+        "purchase_ts", F.col("purchase_ts").cast("timestamp_ntz")
+    )
+
+    batch = QUERIES["stream_stream_join"](spark, sf_dir)
+    cols = ["click_id", "purchase_id", "user_id", "click_ts", "purchase_ts",
+            "purchase_value"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, batch.select(*cols).collect())
+    )
+    assert got.count() > 0  # non-vacuous
