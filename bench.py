@@ -37,10 +37,13 @@ HEADLINE = [
     "udtf_explode_tokens",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_spans",
     "ann_topk_pandas",
     "ann_ivf",
+    "ann_ivf_join",
     "text_quality",
     "stream_tumbling",
+    "stream_stream_join",
 ]
 
 
