@@ -87,6 +87,7 @@ def build_edges(
     triples: DataFrame,
     form2entity: DataFrame,
     n_salts: int = 16,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Canonical edges with properties + provenance.
 
@@ -96,22 +97,26 @@ def build_edges(
 
     Aggregation shape (every buffer bounded; measured on the 16M-turn
     bench, see BENCH/BASELINE.md):
-      * base (n_obs, first_ts): one hash agg straight off the fact —
-        map-side combined, per-group state = counter + timestamp;
+      * ONE fact-sized shuffle (VERDICT r3 #8 write-stage pass): the
+        fact aggregates once per (edge, conv_id) — n per conv +
+        min(ts) per conv, map-side combined — and BOTH outputs derive
+        from that conv-rollup: n_obs/first_ts re-aggregate it on the
+        edge keys (conv-rollup-sized shuffle, far below fact-sized),
+        provenance ranks it. The r1-r3 shape ran two independent
+        fact-sized shuffles (base groupBy + per-conv distinct); the
+        branches share the rollup's Exchange via Spark's ReuseExchange
+        (identical subplans in one job — no persist of fact-sized
+        data, the dilemma the earlier two-branch design documented).
       * provenance = the PROVENANCE_CAP lexicographically-smallest
-        distinct conv_ids: per-(edge, conv) rollup (hash agg, bounded),
-        then a SALTED two-level rank — a single window over (edge)
-        would sort ALL of a hot edge's distinct convs in one task (the
-        hot entity is ~30% of mentions: millions of rows in one sort at
-        10^12 turns, and a non-parallelizable critical path). Level 1
-        ranks within (edge, pmod(xxhash64(conv), n_salts)) — the hot
-        edge splits n_salts ways — keeping each salt's CAP smallest;
-        the global CAP smallest are necessarily among them (exact).
-        Level 2 ranks the <= n_salts*CAP survivors per edge.
-      The two branches run concurrently in one job (independent stages
-      over the same map-side scan); caching the rollup instead was
-      measured SLOWER — columnar cache encode of a fact-sized frame
-      cost more than the second scan (BENCH forensics, git log).
+        distinct conv_ids: a SALTED two-level rank over the rollup —
+        a single window over (edge) would sort ALL of a hot edge's
+        distinct convs in one task (the hot entity is ~30% of
+        mentions: millions of rows in one sort at 10^12 turns, and a
+        non-parallelizable critical path). Level 1 ranks within
+        (edge, pmod(xxhash64(conv), n_salts)) — the hot edge splits
+        n_salts ways — keeping each salt's CAP smallest; the global
+        CAP smallest are necessarily among them (exact). Level 2 ranks
+        the <= n_salts*CAP survivors per edge.
     """
     subj_map = form2entity.select(
         F.col("norm").alias("subj_norm"), F.col("entity_id").alias("src_entity")
@@ -123,11 +128,24 @@ def build_edges(
     t = salted_broadcast_join(t, obj_map, key="obj_norm", salt_on="obj_mention", n_salts=n_salts)
     keys = ["src_entity", "dst_entity", "pred"]
 
-    base = t.groupBy(*keys).agg(
-        F.count("*").alias("n_obs"), F.min("ts").alias("first_ts")
+    conv_rollup = t.groupBy(*keys, "conv_id").agg(
+        F.count("*").alias("__n"), F.min("ts").alias("__min_ts")
+    ).persist()
+    # persist, not ReuseExchange: column pruning strips __n/__min_ts
+    # from the provenance branch's partial aggregate, so the two
+    # exchanges are NOT identical subplans and Catalyst will not reuse
+    # them — without the persist each branch re-pays the fact-sized
+    # shuffle. The cached frame is conv-rollup-sized (distinct
+    # (edge, conv) pairs), orders of magnitude below the fact table;
+    # lazy persist adds no definition-time cost (see build_nodes).
+    if cache_registry is not None:
+        cache_registry.append(conv_rollup)
+
+    base = conv_rollup.groupBy(*keys).agg(
+        F.sum("__n").cast("long").alias("n_obs"), F.min("__min_ts").alias("first_ts")
     )
 
-    per_conv = t.select(*keys, "conv_id").distinct()
+    per_conv = conv_rollup.select(*keys, "conv_id")
     w_local = Window.partitionBy(*keys, "__psalt").orderBy("conv_id")
     w_rank = Window.partitionBy(*keys).orderBy("conv_id")
     prov = (

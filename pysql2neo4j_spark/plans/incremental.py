@@ -393,7 +393,9 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
     nodes = nodes_from_surface_stats(per_surface)
 
     # ---- 5. delta edge aggregation + touched-key merge
-    delta_edges = build_edges(d_triples, f2e_new, n_salts=cfg.n_salts)
+    caches: list = []
+    delta_edges = build_edges(d_triples, f2e_new, n_salts=cfg.n_salts,
+                              cache_registry=caches)
     remap_changed = (
         f2e_prior.select(F.col("entity_id").alias("old_entity")).distinct()
         .join(f2e_new.withColumnRenamed("norm", "old_entity")
@@ -417,6 +419,8 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
         "version": version, "stage": stage, "context_weight": 0.0,
         "finalized_run_dirs": sorted(set(meta["finalized_run_dirs"]) | set(delta_dirs)),
     })
+    for c in caches:
+        c.unpersist(blocking=False)
     return {
         "mentions": d_mentions, "triples": d_triples,
         "form2entity": f2e_new, "nodes": nodes_out, "edges": edges_out,

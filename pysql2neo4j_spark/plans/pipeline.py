@@ -220,7 +220,8 @@ def materialize_graph(
     caches: list = []
     linked = link_mentions(mentions, form2entity, n_salts=cfg.n_salts)
     nodes = build_nodes(linked, cache_registry=caches)
-    edges = build_edges(triples, form2entity, n_salts=cfg.n_salts)
+    edges = build_edges(triples, form2entity, n_salts=cfg.n_salts,
+                        cache_registry=caches)
 
     # links IR (FIXTURES.md §C): mention -> canonical entity with the
     # verification-style similarity between the mention's norm and the
