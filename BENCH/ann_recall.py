@@ -131,6 +131,53 @@ def sweep(spark, name, corpus, queries, Xc, ids_c, Xq, ids_q, results):
                         "recall_at_5": round(rec, 4), "scan_fraction": round(frac, 4)})
 
 
+def sweep_join(spark, name, corpus, Xc, ids_c, threshold, results):
+    """Corpus-vs-corpus IVF-cell join (ivf_join_pairs): PAIR recall vs
+    the exact above-threshold pair set, over n_probe. Cost column =
+    candidate pairs / all pairs (the fraction of the quadratic pair
+    space the cell join actually scores)."""
+    from pysql2neo4j_spark.operators.similarity import (
+        ivf_join_pairs,
+        train_ivf_centroids,
+    )
+
+    Xn = Xc / np.linalg.norm(Xc, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)
+    n = len(Xc)
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if S[i, j] >= threshold:
+                a, b = int(ids_c[i]), int(ids_c[j])
+                want.add((min(a, b), max(a, b)))
+    if not want:
+        return
+    n_cent = 16
+    cents = train_ivf_centroids(Xc, k=n_cent, seed=42, iters=5)
+    C = np.array(cents)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    sims = np.round(Xn @ Cn.T, 6)
+    order = np.argsort(-sims, axis=1, kind="stable")
+    home = order[:, 0]
+    home_sizes = np.bincount(home, minlength=n_cent)
+    for n_probe in (1, 2, 4):
+        got = {
+            (int(r.id_a), int(r.id_b))
+            for r in ivf_join_pairs(
+                corpus, [list(c) for c in cents],
+                threshold=threshold, n_probe=n_probe,
+            ).collect()
+        }
+        rec = len(got & want) / len(want)
+        probe_sizes = np.bincount(order[:, :n_probe].reshape(-1), minlength=n_cent)
+        cand = int((probe_sizes * home_sizes).sum()) - n * n_probe  # minus self pairs
+        frac = cand / (n * (n - 1))  # ordered-pair space (each pair seen from both sides)
+        results.append({"corpus": name, "index": "ivf_join",
+                        "param": f"n_probe={n_probe}, th={threshold}",
+                        "recall_at_5": round(rec, 4),
+                        "scan_fraction": round(frac, 4)})
+
+
 def main():
     from pysql2neo4j_spark.session import get_spark
 
@@ -139,8 +186,20 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     results: list[dict] = []
-    sweep(spark, "isotropic(sf)", *load_fixture(spark, sf_dir), results)
-    sweep(spark, "planted(16x200)", *make_planted(spark), results)
+    fixture = load_fixture(spark, sf_dir)
+    sweep(spark, "isotropic(sf)", *fixture, results)
+    planted = make_planted(spark)
+    sweep(spark, "planted(16x200)", *planted, results)
+    # corpus-vs-corpus pair recall (the semantic-dedup shape): the full
+    # fixture table against itself at its near-dup band, and the
+    # planted clusters at a tight threshold
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = emb.orderBy("vec_id").collect()
+    ids_all = np.array([r.vec_id for r in rows])
+    X_all = np.array([r.embedding for r in rows], dtype=np.float64)
+    sweep_join(spark, "isotropic(sf)", emb, X_all, ids_all, 0.45, results)
+    corpus_p, _q, Xc_p, ids_p, _xq, _iq = planted
+    sweep_join(spark, "planted(16x200)", corpus_p, Xc_p, ids_p, 0.9, results)
 
     print(f"\n| corpus | index | param | recall@{K} | scan_fraction |")
     print("|---|---|---|---|---|")

@@ -1327,6 +1327,39 @@ def dedup_spans(spark, sf_dir):
     return duplicated_ngram_spans(d, "doc_id", "text", n=5, min_total=3)
 
 
+@register(
+    "text_decontaminate",
+    """WITH base AS (
+         SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS l
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(l) - 4, 0) + 1),
+                       i -> array_to_string(l[i:i+4], ' '))) AS span
+         FROM base WHERE len(l) >= 5),
+       ev AS (SELECT DISTINCT span FROM g WHERE doc_id % 10 = 0),
+       tr AS (SELECT doc_id, span FROM g WHERE doc_id % 10 != 0)
+       SELECT tr.doc_id,
+              CAST(count(*) AS BIGINT) AS n_hit_positions,
+              CAST(count(DISTINCT tr.span) AS BIGINT) AS n_hit_spans
+       FROM tr JOIN ev USING (span)
+       GROUP BY tr.doc_id""",
+)
+def text_decontaminate(spark, sf_dir):
+    """Training-vs-eval DECONTAMINATION (benchmark-leak check): docs
+    with doc_id % 10 == 0 play the eval set; training docs sharing any
+    word 5-gram with it are flagged with hit counts. Eval n-gram set
+    broadcasts (benchmark-sized); training pays one explode + one
+    broadcast join — no training-side shuffle, no pair space."""
+    from .operators.dedup import ngram_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = d.filter(F.col("doc_id") % 10 != 0)
+    return ngram_decontaminate(tr, ev, "doc_id", "text", n=5)
+
+
 @register("dedup_minhash_lsh", _SQL_JACCARD_PAIRS.format(th=0.8))
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + banded LSH with exact verification. The oracle is the
@@ -2006,6 +2039,7 @@ _DEMOTED = [
     "dedup_ngram_jaccard",     # same oracle pair set as dedup_minhash_lsh
     "dedup_simhash",           # same oracle pair set as dedup_minhash_lsh
     "agg_approx",              # rows-only by design: driver row adds nothing
+    "text_decontaminate",      # span-overlap machinery driver-evidenced by dedup_spans
 ]
 for _k in _DEMOTED:
     QUERIES[_k] = QUERIES.pop(_k)

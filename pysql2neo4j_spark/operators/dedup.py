@@ -385,3 +385,60 @@ def cluster_keep_best(
             ).alias("keeper_id"),
         )
     )
+
+
+# --------------------------------------------- eval decontamination
+
+def ngram_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Training-vs-eval DECONTAMINATION: flag training documents that
+    share any word n-gram with the eval/benchmark corpus — the standard
+    leak check a training-data pipeline runs before every release.
+
+    Scale shape: the eval side is benchmark-sized (tiny vs training),
+    so its DISTINCT n-gram set broadcasts; the training side pays one
+    positional explode + one broadcast semi-ish join + one per-doc
+    aggregate. No shuffle of training text, no pair space.
+
+    Returns (doc_id, n_hit_positions, n_hit_spans) for contaminated
+    docs only."""
+    toks = tokens(F.col(text_col))
+    ev = (
+        eval_df.select(toks.alias("l"))
+        .filter(F.size("l") >= n)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("l") - n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("l"), i + 1, n)),
+                )
+            ).alias("span")
+        )
+        .distinct()
+    )
+    tr = (
+        train_df.select(F.col(id_col).alias("doc_id"), toks.alias("l"))
+        .filter(F.size("l") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("l") - n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("l"), i + 1, n)),
+                )
+            ).alias("span"),
+        )
+    )
+    return (
+        tr.join(F.broadcast(ev), "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_positions"),
+            F.countDistinct("span").alias("n_hit_spans"),
+        )
+    )

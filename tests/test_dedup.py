@@ -210,3 +210,30 @@ def test_cluster_keeper_election_transitive_chain(spark):
     assert sorted(r.member_ids) == [1, 2, 3]
     assert r.n_members == 3
     assert r.keeper_id == 3  # longest text wins across the WHOLE cluster
+
+
+def test_decontamination_flags_leaked_spans(spark):
+    """Planted leak: a training doc containing an eval doc's sentence
+    verbatim is flagged with the right hit counts; clean docs are not."""
+    from pysql2neo4j_spark.operators.dedup import ngram_decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id LONG, text STRING",
+    )
+    train_docs = spark.createDataFrame(
+        [
+            # contains the eval sentence verbatim -> every covering
+            # 5-gram of the 10-token eval doc (6 spans) hits once
+            (1, "intro words here the quick brown fox jumps over the lazy dog tonight outro"),
+            (2, "completely unrelated training document with its own words"),
+            # partial overlap: only 5 consecutive shared tokens -> 1 span
+            (3, "prefix the quick brown fox jumps elsewhere entirely now"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: (r.n_hit_positions, r.n_hit_spans)
+           for r in ngram_decontaminate(train_docs, eval_docs, "doc_id", "text").collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == (6, 6)   # all 6 eval 5-grams leaked
+    assert got[3] == (1, 1)   # exactly one shared 5-gram
