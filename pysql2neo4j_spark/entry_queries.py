@@ -1913,7 +1913,12 @@ def cc_hashmin_components(spark, sf_dir):
         )
         .distinct()
     )
-    return connected_components(vertices, edges).select("id", "component")
+    # force the DISTRIBUTED superstep loop: this key is the driver-grade
+    # evidence for the iterative operator itself; the gated driver
+    # union-find fast path has its own equivalence pytest
+    return connected_components(
+        vertices, edges, small_graph_threshold=0
+    ).select("id", "component")
 
 
 # materialize the language-hits CTE into the text_lang_id oracle

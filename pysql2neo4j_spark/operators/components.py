@@ -53,6 +53,55 @@ class ConvergenceError(RuntimeError):
     still changing — the labels would be WRONG (split components)."""
 
 
+def _driver_union_find(spark, vertices: DataFrame, vertex_col: str, sym: DataFrame) -> DataFrame:
+    """Small-graph CC: path-compressed union-find over a BOUNDED edge
+    collect (the caller gates on ``small_graph_threshold``). Only
+    edge-INCIDENT vertices are collected — the vertex frame itself is
+    never pulled to the driver, so a huge vocabulary with few
+    similarity edges stays distributed: singletons resolve to
+    themselves through the left join below."""
+    from pyspark.sql import types as T
+
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        ra, rb = find(r.src), find(r.dst)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min id wins the root
+    members: dict = {}
+    for x in set(parent) | {r.src for r in rows} | {r.dst for r in rows}:
+        members.setdefault(find(x), []).append(x)
+    label = []
+    for root, xs in members.items():
+        m = min(xs + [root])
+        label.extend((x, m) for x in xs)
+
+    vt = vertices.schema[vertex_col].dataType
+    mapping = spark.createDataFrame(
+        label,
+        T.StructType([T.StructField("id", vt), T.StructField("component", vt)]),
+    )
+    # checkpoint like the superstep loop's labels: downstream consumers
+    # (three broadcast joins in the pipeline) must re-read a
+    # materialized vocabulary-sized frame, not re-run the vertices
+    # aggregation (a fact-sized scan) once per consumer
+    return (
+        vertices.select(F.col(vertex_col).alias("id"))
+        .join(F.broadcast(mapping), "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -61,13 +110,25 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 25,
     n_partitions: int | None = None,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Return (id, component) where component = min id in the component.
 
     vertices: one column ``vertex_col`` (distinct ids).
     edges: undirected, given as (src, dst) pairs (any orientation).
     Raises ConvergenceError if not converged within ``max_iter``.
-    """
+
+    Small-graph fast path: after the symmetric edge list materializes,
+    one count decides the route. If edges fit under
+    ``small_graph_threshold`` (a BOUNDED collect — the same contract as
+    driver-side IVF centroid training), a driver union-find replaces
+    the superstep loop: on a vocabulary-sized graph each superstep is
+    pure fixed cost (an eager localCheckpoint job + two joins), ~2-4 s
+    of the 4N scaling wall for a 100-form graph (BENCH/BASELINE.md
+    decomposition). The distributed loop below is untouched and
+    remains the route for edge lists past the threshold; pass
+    ``small_graph_threshold=0`` to force it (the equivalence pytest
+    does)."""
     spark = vertices.sparkSession
     if n_partitions is None:
         # session-parallelism default: touching vertices.rdd here would
@@ -85,6 +146,13 @@ def connected_components(
         .repartition(n_parts, "src")
         .localCheckpoint(eager=True)
     )
+    if small_graph_threshold:
+        # the checkpointed sym is already materialized: counting it is a
+        # cached-block scan, not a recompute
+        n_sym = sym.count()
+        if n_sym <= small_graph_threshold:
+            return _driver_union_find(spark, vertices, vertex_col, sym)
+
     # superstep-0 seed: component = least(id, min neighbor) instead of
     # identity (VERDICT r2 #6) — one cheap aggregate on the symmetric
     # edge list saves a full propagate+jump+checkpoint superstep for

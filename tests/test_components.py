@@ -34,9 +34,17 @@ def _check(spark, vertices, edges):
     edf = spark.createDataFrame(edges or [("__none__", "__none__")], ["src", "dst"])
     if not edges:
         edf = edf.filter("src <> src")  # empty
-    got = {r.id: r.component for r in connected_components(vdf, edf).collect()}
     want = _union_find_oracle(vertices, edges)
-    assert got == want
+    # both routes must agree with the oracle: the gated driver
+    # union-find (default — these graphs are tiny) AND the distributed
+    # superstep loop (forced via small_graph_threshold=0)
+    got_fast = {r.id: r.component for r in connected_components(vdf, edf).collect()}
+    assert got_fast == want
+    got_dist = {
+        r.id: r.component
+        for r in connected_components(vdf, edf, small_graph_threshold=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_cc_random_graphs(spark):
@@ -75,7 +83,7 @@ def test_cc_long_path_log_rounds(spark):
     edf = spark.createDataFrame(edges, ["src", "dst"])
     got = {
         r.id: r.component
-        for r in connected_components(vdf, edf, max_iter=12).collect()
+        for r in connected_components(vdf, edf, max_iter=12, small_graph_threshold=0).collect()
     }
     assert got == {v: vertices[0] for v in vertices}
 
@@ -89,7 +97,7 @@ def test_cc_nonconvergence_raises(spark):
     vdf = spark.createDataFrame([(v,) for v in vertices], ["id"])
     edf = spark.createDataFrame(edges, ["src", "dst"])
     with pytest.raises(ConvergenceError):
-        connected_components(vdf, edf, max_iter=2)
+        connected_components(vdf, edf, max_iter=2, small_graph_threshold=0)
 
 
 def test_cc_min_label_is_component_id(spark):
