@@ -1155,6 +1155,49 @@ def stream_stream_join(spark, sf_dir):
     )
 
 
+@register(
+    "stream_stream_left_join",
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       p AS (SELECT event_id, user_id, ts, round(value, 2) AS pv
+             FROM events WHERE event_type = 'purchase')
+       SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+              c.ts AS click_ts, p.ts AS purchase_ts, p.pv AS purchase_value
+       FROM c LEFT JOIN p
+         ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+)
+def stream_stream_left_join(spark, sf_dir):
+    """LEFT OUTER event-time interval join — the harder half of the
+    stream-stream family: in streaming, a null-extended row may emit
+    only once the watermark proves no matching purchase can still
+    arrive (state expiry drives emission). Batch twin of
+    interval_join_clicks_purchases(how="leftOuter"); stream == batch
+    row-set equality in tests/test_streaming.py."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTE")),
+            "left",
+        )
+        .select("click_id", "purchase_id", "user_id",
+                "click_ts", "purchase_ts", "purchase_value")
+    )
+
+
 # =====================================================================
 # Training-data pipeline operators: dedup family (task mandate)
 # =====================================================================
@@ -2045,6 +2088,7 @@ _DEMOTED = [
     "dedup_simhash",           # same oracle pair set as dedup_minhash_lsh
     "agg_approx",              # rows-only by design: driver row adds nothing
     "text_decontaminate",      # span-overlap machinery driver-evidenced by dedup_spans
+    "stream_stream_left_join", # inner variant is the in-cap family representative
 ]
 for _k in _DEMOTED:
     QUERIES[_k] = QUERIES.pop(_k)

@@ -97,7 +97,8 @@ def read_event_stream(spark: SparkSession, path: str,
 
 
 def interval_join_clicks_purchases(
-    events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
+    events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked STREAM-STREAM interval join (VERDICT r3 #4): each
     click matches the same user's purchases within
@@ -106,8 +107,14 @@ def interval_join_clicks_purchases(
     join state (a stream-stream join without both is unbounded state —
     the classic production OOM). Inner join: matches emit as soon as
     both rows arrive; the watermark governs state CLEANUP, not
-    emission. The batch twin is entry_queries.stream_stream_join
-    (DuckDB-oracle-checked); tests assert stream == batch."""
+    emission. ``how="leftOuter"``: unmatched clicks additionally emit
+    null-extended rows, but only when the watermark proves no future
+    purchase can still match (null emission IS state expiry — the part
+    of outer stream-stream semantics that has no batch analogue in
+    timing, though the final row set equals the batch left join). The
+    batch twins are entry_queries.stream_stream_join /
+    stream_stream_left_join (DuckDB-oracle-checked); tests assert
+    stream == batch for both."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -134,7 +141,7 @@ def interval_join_clicks_purchases(
                 AND purchase_ts >= click_ts
                 AND purchase_ts <= click_ts + INTERVAL {horizon}"""
         ),
-        "inner",
+        how,
     ).select(
         "click_id",
         "purchase_id",

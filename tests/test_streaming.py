@@ -120,3 +120,55 @@ def test_interval_join_stream_equals_batch(spark, tmp_out):
         map(tuple, batch.select(*cols).collect())
     )
     assert got.count() > 0  # non-vacuous
+
+
+def test_interval_left_join_stream_equals_batch(spark, tmp_out):
+    """LEFT OUTER stream-stream join: null-extended rows emit only when
+    the watermark proves no matching purchase can still arrive, so the
+    source gets far-future sentinel rows on BOTH sides (a click and a
+    purchase) in a later file — they push the global watermark past
+    every real click's horizon and the outer rows flush. Final row set
+    must equal the batch left join."""
+    import datetime
+    import os
+    import time as _time
+
+    from pysql2neo4j_spark.entry_queries import QUERIES
+    from pysql2neo4j_spark.streaming.ingest import (
+        EVENT_SCHEMA,
+        interval_join_clicks_purchases,
+        read_event_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = os.path.join(tmp_out, "events_src")
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(4).write.parquet(src)
+    _time.sleep(1.1)  # file source orders batches by mtime
+    far = datetime.datetime(2030, 1, 1)
+    sentinels = spark.createDataFrame(
+        [
+            (999_000_001, far, -1, "click", 0.0, None),
+            (999_000_002, far, -2, "purchase", 0.0, None),
+        ],
+        schema=EVENT_SCHEMA,
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=4)
+    got = (
+        run_to_completion(
+            interval_join_clicks_purchases(stream, how="leftOuter"), name="t_sslj"
+        )
+        .filter(F.col("user_id") >= 0)  # drop sentinel rows
+        .withColumn("click_ts", F.col("click_ts").cast("timestamp_ntz"))
+        .withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp_ntz"))
+    )
+    batch = QUERIES["stream_stream_left_join"](spark, sf_dir)
+    cols = ["click_id", "purchase_id", "user_id", "click_ts", "purchase_ts",
+            "purchase_value"]
+    got_rows = sorted(map(tuple, got.select(*cols).collect()))
+    want_rows = sorted(map(tuple, batch.select(*cols).collect()))
+    assert got_rows == want_rows
+    # non-vacuous both ways: some matches AND some null-extended rows
+    assert any(r[1] is not None for r in want_rows)
+    assert any(r[1] is None for r in want_rows)

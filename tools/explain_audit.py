@@ -41,6 +41,16 @@ EXPECTATIONS: dict[str, list[str]] = {
     "udaf_grouped_agg": ["ArrowAggregatePython"],
     "ann_topk_exact": ["BroadcastNestedLoopJoin", "SALTED_TOPK_PROXY"],
     "multimodal_features": ["MapInPandas"],
+    # corpus-join: the assignment kernel runs inside an eager
+    # localCheckpoint (its MapInPandas is behind the ExistingRDD leaf);
+    # the visible plan must show the Arrow cosine and a REAL cell
+    # equi-join — never a crossJoin of the corpus against itself
+    "ann_ivf_join": ["ArrowEvalPython", "NOT:CartesianProduct", "NOT:BroadcastNestedLoopJoin"],
+    # span dedup: explode + hash agg, no pair join anywhere
+    "dedup_spans": ["Generate", "HashAggregate", "NOT:SortMergeJoin", "NOT:BroadcastHashJoin"],
+    # decontamination: eval n-gram set broadcasts; training side never shuffles
+    "text_decontaminate": ["BroadcastHashJoin", "Generate"],
+    "stream_stream_join": ["PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)"],
 }
 
 FORBIDDEN_EVERYWHERE = ["BatchEvalPython"]  # row-at-a-time Python UDF
@@ -80,6 +90,10 @@ def audit(spark, keys=None, sf_dir: str = "/root/testdata/sf0.001") -> dict[str,
                     problems.append(
                         "top-k not salted: full-corpus Exchange into "
                         "per-query partitions")
+                continue
+            if want.startswith("NOT:"):
+                if want[4:] in plan:
+                    problems.append(f"forbidden for this key: {want[4:]}")
                 continue
             if want not in plan:
                 problems.append(f"missing: {want[:60]}")
