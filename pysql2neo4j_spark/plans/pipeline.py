@@ -101,7 +101,13 @@ def extract_stage(
         has_pending = True  # fresh run: no manifest, no probe job
 
     if has_pending:
-        ordered = with_stable_order(t.repartition(cfg.n_buckets, "part_key"))
+        # repartition on conv_id, NOT part_key: the stable-order window
+        # requires hashpartitioning(conv_id), which this satisfies — a
+        # part_key repartition measured as TWO back-to-back full-text
+        # Exchanges (ours + the one Catalyst inserts for the window).
+        # part_key co-location is not needed by the FLAT staged write;
+        # resume correctness lives in the manifest.
+        ordered = with_stable_order(t.repartition(cfg.n_buckets, "conv_id"))
         # ONE extraction pass: mentions + triples staged together
         # (union schema, row_type discriminator); part_key is a pure
         # function of conv_id — recomputed, never joined back.

@@ -81,7 +81,10 @@ def make_extraction_sink(out_dir: str, cfg: PipelineConfig, checkpoint_location:
             batch_df.withColumn("ts", F.col("ts").cast("timestamp_ntz")),
             cfg.n_buckets,
         )
-        ordered = with_stable_order(t.repartition(cfg.n_buckets, "part_key"))
+        # conv_id, not part_key: satisfies the stable-order window's
+        # required distribution — avoids a second full-text Exchange
+        # (see plans/pipeline.py extract_stage)
+        ordered = with_stable_order(t.repartition(cfg.n_buckets, "conv_id"))
         staged = with_part_key(extract_all_flat(ordered), cfg.n_buckets)
         path = os.path.join(staged_root, run_dir)
         # overwrite: a crash-retry of this batch must not append twice
