@@ -818,6 +818,81 @@ def udtf_explode_tokens(spark, sf_dir):
     )
 
 
+def _pii_oracle() -> str:
+    from .functions.text import PII_PATTERNS
+
+    e, p, s = PII_PATTERNS["email"], PII_PATTERNS["phone"], PII_PATTERNS["ssn"]
+    return f"""SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                  '{e}', '<EMAIL>', 'g'),
+                  '{p}', '<PHONE>', 'g'),
+                  '{s}', '<SSN>', 'g') AS redacted,
+              CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phone,
+              CAST(len(regexp_extract_all(text, '{s}')) AS BIGINT) AS n_ssn
+       FROM documents"""
+
+
+@register("text_pii_redact")
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing (emails / phones / SSN-shaped ids -> typed
+    placeholders + per-type counts) — pure regexp Columns, RE2-safe
+    patterns shared with the oracle (functions.text.PII_PATTERNS). On
+    the PII-free fixture the oracle doubles as a FALSE-POSITIVE gate
+    (redacted must equal text, counts 0 — value-hash-compared);
+    planted true positives are pytest-gated (tests/test_dedup.py)."""
+    from .functions.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", *redact_pii("text"))
+
+
+ORACLES["text_pii_redact"] = _pii_oracle()
+
+
+@register(
+    "udtf_python_tokens",
+    """WITH base AS (
+         SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS l
+         FROM documents)
+       SELECT doc_id,
+              CAST(x.pos AS BIGINT) AS pos,
+              x.token AS token,
+              CAST(length(x.token) AS BIGINT) AS n_chars
+       FROM (SELECT doc_id,
+                    unnest(list_transform(l, (t, i) -> struct_pack(pos := i - 1, token := t))) AS x
+             FROM base)""",
+)
+def udtf_python_tokens(spark, sf_dir):
+    """Python UDTF (Spark 4 `@udtf`, Arrow-optimized) applied as a
+    LATERAL table function — the user-defined-table-function API
+    surface proper, distinct from the JVM explode path
+    (udtf_explode_tokens). One row in, one row per normalized token
+    out, with position and length. The normalization matches
+    functions.text.tokens so the DuckDB oracle reuses the shared
+    tokenizer CTE."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos BIGINT, token STRING, n_chars BIGINT", useArrow=True)
+    class SplitTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            norm = re.sub(r"\s+", " ", text.lower()).strip()
+            for i, t in enumerate(norm.split(" ")):
+                yield i, t, len(t)
+
+    spark.udtf.register("split_tokens_py", SplitTokens)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """SELECT d.doc_id, t.pos, t.token, t.n_chars
+           FROM __docs_udtf d, LATERAL split_tokens_py(d.text) t"""
+    )
+
+
 # =====================================================================
 # KG semantics on the star schema — pysql2neo4j parity, SQL-checkable
 # =====================================================================
@@ -2089,6 +2164,8 @@ _DEMOTED = [
     "agg_approx",              # rows-only by design: driver row adds nothing
     "text_decontaminate",      # span-overlap machinery driver-evidenced by dedup_spans
     "stream_stream_left_join", # inner variant is the in-cap family representative
+    "udtf_python_tokens",      # JVM explode variant is the in-cap scale path
+    "text_pii_redact",         # fixture is PII-free (false-positive gate only here)
 ]
 for _k in _DEMOTED:
     QUERIES[_k] = QUERIES.pop(_k)

@@ -149,3 +149,34 @@ def fingerprint(col: Column | str) -> Column:
     """Deterministic 64-bit document fingerprint: xxhash64 of the
     normalized text (rolling-hash analogue, order-sensitive)."""
     return F.xxhash64(norm_text(col))
+
+
+# PII patterns shared by the Spark expressions and the DuckDB oracle —
+# kept RE2-compatible (no backrefs/lookarounds) so both engines agree.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def redact_pii(col: Column | str):
+    """PII scrubbing for training corpora: emails, phone numbers, and
+    SSN-shaped ids replaced with typed placeholders, plus per-type hit
+    counts — pure ``regexp_replace``/``regexp_count`` Columns (JVM,
+    whole-stage codegen; no UDF). Returns (redacted, n_email, n_phone,
+    n_ssn) columns to select alongside the id.
+
+    Order matters: emails first (a phone regex must not eat the digits
+    of an e-mail local part after partial replacement)."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = {k: F.regexp_count(c, F.lit(p)).cast("long") for k, p in PII_PATTERNS.items()}
+    red = c
+    for k in ("email", "phone", "ssn"):
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
+    return (
+        red.alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ssn"].alias("n_ssn"),
+    )

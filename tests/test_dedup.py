@@ -237,3 +237,25 @@ def test_decontamination_flags_leaked_spans(spark):
     assert set(got) == {1, 3}
     assert got[1] == (6, 6)   # all 6 eval 5-grams leaked
     assert got[3] == (1, 1)   # exactly one shared 5-gram
+
+
+def test_pii_redaction_planted(spark):
+    """Planted PII: emails, phones, SSNs are replaced with typed
+    placeholders and counted; clean text passes through byte-identical."""
+    from pysql2neo4j_spark.functions.text import redact_pii
+
+    docs = [
+        (1, "contact me at jane.doe+spam@example.co.uk for details"),
+        (2, "call 555-867-5309 or +1 (212) 555-0117 tomorrow"),
+        (3, "ssn on file: 078-05-1120 thanks"),
+        (4, "perfectly clean text with numbers like 12345 and v2.0"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    rows = {r.doc_id: r for r in df.select("doc_id", *redact_pii("text")).collect()}
+
+    assert rows[1].n_email == 1 and "<EMAIL>" in rows[1].redacted
+    assert "example.co.uk" not in rows[1].redacted
+    assert rows[2].n_phone == 2 and rows[2].redacted.count("<PHONE>") == 2
+    assert rows[3].n_ssn == 1 and "<SSN>" in rows[3].redacted
+    assert rows[4].redacted == docs[3][1]  # untouched
+    assert rows[4].n_email == rows[4].n_phone == rows[4].n_ssn == 0
