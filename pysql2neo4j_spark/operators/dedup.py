@@ -338,7 +338,8 @@ def flag_boilerplate_positions(
 # --------------------------------------- transitive keeper election
 
 def cluster_keep_best(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8,
+    method: str = "jaccard",
 ) -> DataFrame:
     """CLUSTER-level keeper election (VERDICT r3 #6): pairwise election
     (dedup_keep_best) breaks on transitive chains — A~B and B~C with
@@ -355,7 +356,13 @@ def cluster_keep_best(
     (cluster_id = min member id, n_members, member_ids, keeper_id)."""
     from .components import connected_components
 
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    if method == "lsh":
+        # the 100 TB candidate path: banded MinHash instead of the
+        # inverted-index self-join; verification makes the pair set
+        # identical for any threshold where band recall is ~1
+        pairs = minhash_lsh_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    else:
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
     # CC's superstep loop re-evaluates its input each iteration: cut the
     # shingle-join lineage once (pair-set-sized, tiny)
     pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)

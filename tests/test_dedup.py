@@ -259,3 +259,27 @@ def test_pii_redaction_planted(spark):
     assert rows[3].n_ssn == 1 and "<SSN>" in rows[3].redacted
     assert rows[4].redacted == docs[3][1]  # untouched
     assert rows[4].n_email == rows[4].n_phone == rows[4].n_ssn == 0
+
+
+def test_cluster_keeper_lsh_path_matches_jaccard(spark):
+    """The LSH candidate path (the 100 TB route) elects the same
+    clusters and keepers as the inverted-index baseline."""
+    from pysql2neo4j_spark.operators.dedup import cluster_keep_best
+
+    words = [f"w{i:02d}" for i in range(1, 15)]
+    docs = [
+        (1, " ".join(words[0:10])),
+        (2, " ".join(words[2:12])),
+        (3, " ".join(words[4:13] + ["wfourteenlong"])),
+        (9, "unrelated totally different text here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+
+    def rows(method):
+        return sorted(
+            (r.cluster_id, tuple(sorted(r.member_ids)), r.n_members, r.keeper_id)
+            for r in cluster_keep_best(df, "doc_id", "text", n=3,
+                                       threshold=0.5, method=method).collect()
+        )
+
+    assert rows("lsh") == rows("jaccard")
