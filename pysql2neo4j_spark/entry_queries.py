@@ -881,7 +881,12 @@ def udtf_python_tokens(spark, sf_dir):
         def eval(self, text: str):
             if text is None:
                 return
-            norm = re.sub(r"\s+", " ", text.lower()).strip()
+            # re.ASCII + explicit strip set: Python's default \s (and
+            # bare .strip()) are Unicode-aware, while Java's \s
+            # (functions.text.norm_text) and RE2's \s (the oracle) are
+            # ASCII-only — U+00A0 etc. must stay inside tokens on all
+            # three engines identically
+            norm = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip(" \t\n\r\f\v")
             for i, t in enumerate(norm.split(" ")):
                 yield i, t, len(t)
 

@@ -54,6 +54,19 @@ def ngram_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def positional_ngram_spans(toks: Column, n: int) -> Column:
+    """ALL positional word n-gram spans of a token array (array<string>,
+    one entry per start position, repeats kept) — the shared span
+    window for span-level dedup, boilerplate flagging, and eval-set
+    decontamination (operators/dedup.py). Callers must pre-filter
+    ``size(toks) >= n``; ``ngram_shingles`` above is the DISTINCT
+    variant used by the Jaccard family."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
 # ------------------------------------------------------- set similarity
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import band_keys, hamming64, minhash_signature, simhash64
-from ..functions.text import ngram_shingles, norm_text, tokens
+from ..functions.text import (
+    ngram_shingles,
+    norm_text,
+    positional_ngram_spans,
+    tokens,
+)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -54,22 +59,24 @@ def _spread(df: DataFrame) -> DataFrame:
         files = []
     if not files:
         return df
-    if len(files) >= max(2, par // 2):
-        return df
-    # few files: big ones still split on read (maxPartitionBytes), so
-    # estimate the scan's partition count from bytes; only genuinely
-    # small unsplittable scans get the round-robin remedy (cheap — the
-    # data IS small; a one-row-group multi-GB file stays one task, the
-    # unfixable-by-repartition-placement case either way).
+    # estimate the scan's partition count with FileSourceScan's own
+    # split formula — maxSplitBytes = min(maxPartitionBytes,
+    # max(openCostInBytes, totalBytes / defaultParallelism)) — instead
+    # of raw file count: packing can merge small files and splitting
+    # fans big ones out, so neither count nor size alone predicts the
+    # task count. A one-row-group multi-GB file still stays one task
+    # (unfixable by repartition placement) — accepted either way.
     max_pb = 32 * 1024 * 1024  # session.py: spark.sql.files.maxPartitionBytes=32m
+    open_cost = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
     total = 0
     for f in files:
         p = f[7:] if f.startswith("file://") else (f[5:] if f.startswith("file:") else f)
         try:
-            total += os.path.getsize(p)
+            total += os.path.getsize(p) + open_cost
         except OSError:
             return df  # non-local store: trust read-time splitting
-    est_parts = max(len(files), -(-total // max_pb))
+    max_split = min(max_pb, max(open_cost, total // max(par, 1)))
+    est_parts = -(-total // max_split)
     if est_parts >= max(2, par // 2):
         return df
     return df.repartition(par)
@@ -293,10 +300,7 @@ def duplicated_ngram_spans(
     g = base.filter(F.size("l") >= n).select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("l") - n),
-                lambda i: F.concat_ws(" ", F.slice(F.col("l"), i + 1, n)),
-            )
+            positional_ngram_spans(F.col("l"), n)
         ).alias("span"),
     )
     return (
@@ -315,22 +319,21 @@ def flag_boilerplate_positions(
     """Per-document flagged span POSITIONS: every (doc_id, pos) whose
     n-gram span is corpus-repeated (``duplicated_ngram_spans``) — the
     removal map a cleaning pass applies. The repeated-span set is
-    repetition-bounded (usually tiny vs the corpus), so the flag join
-    broadcasts; at boilerplate-heavy corpora Spark's AQE falls back to
-    a shuffle join on the span key."""
+    repetition-bounded (usually tiny vs the corpus): the join is left
+    UNHINTED so AQE broadcasts it when its runtime size is small and
+    falls back to a shuffle join on heavily-templated corpora — an
+    explicit broadcast() hint is never demoted by AQE and would OOM
+    the driver when the span set is millions of rows."""
     spans = duplicated_ngram_spans(df, id_col, text_col, n=n, min_total=min_total)
     toks = tokens(F.col(text_col))
     base = _spread(df).select(F.col(id_col).alias("doc_id"), toks.alias("l"))
     g = base.filter(F.size("l") >= n).select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("l") - n),
-                lambda i: F.concat_ws(" ", F.slice(F.col("l"), i + 1, n)),
-            )
+            positional_ngram_spans(F.col("l"), n)
         ).alias("pos", "span"),
     )
-    return g.join(F.broadcast(spans.select("span")), "span", "inner").select(
+    return g.join(spans.select("span"), "span", "inner").select(
         "doc_id", F.col("pos").cast("long").alias("pos"), "span"
     )
 
@@ -420,10 +423,7 @@ def ngram_decontaminate(
         .filter(F.size("l") >= n)
         .select(
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("l") - n),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("l"), i + 1, n)),
-                )
+                positional_ngram_spans(F.col("l"), n)
             ).alias("span")
         )
         .distinct()
@@ -434,10 +434,7 @@ def ngram_decontaminate(
         .select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("l") - n),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("l"), i + 1, n)),
-                )
+                positional_ngram_spans(F.col("l"), n)
             ).alias("span"),
         )
     )

@@ -130,7 +130,7 @@ def build_edges(
 
     conv_rollup = t.groupBy(*keys, "conv_id").agg(
         F.count("*").alias("__n"), F.min("ts").alias("__min_ts")
-    ).persist()
+    )
     # persist, not ReuseExchange: column pruning strips __n/__min_ts
     # from the provenance branch's partial aggregate, so the two
     # exchanges are NOT identical subplans and Catalyst will not reuse
@@ -138,7 +138,12 @@ def build_edges(
     # shuffle. The cached frame is conv-rollup-sized (distinct
     # (edge, conv) pairs), orders of magnitude below the fact table;
     # lazy persist adds no definition-time cost (see build_nodes).
+    # ONLY persisted when the caller passes a registry to unpersist
+    # through — an unowned cache entry would pin executor storage for
+    # the life of the session (dryrun / ad-hoc plan-inspection callers
+    # pass nothing and get the plain recomputed plan).
     if cache_registry is not None:
+        conv_rollup = conv_rollup.persist()
         cache_registry.append(conv_rollup)
 
     base = conv_rollup.groupBy(*keys).agg(

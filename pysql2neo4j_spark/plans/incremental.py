@@ -280,24 +280,41 @@ def finalize_graph(
 
     if meta is None:
         return _finalize_full(spark, out_dir, cfg, stage, committed, version)
+    state_cw = meta.get("context_weight")
     if not delta_dirs:
-        # nothing new: current state is the answer
+        # nothing new: current state is the answer — but only if it was
+        # built with the weight the caller is asking for (serving a
+        # 0-weight state to a context-weight caller, or vice versa, is
+        # the same silent divergence the delta guard refuses). A
+        # pre-upgrade meta without the key is treated as the 0 default
+        # here: serving is read-only, nothing is extended.
+        if cfg.context_weight != (state_cw if state_cw is not None else 0.0):
+            raise ValueError(
+                f"state at {out_dir} was finalized with context_weight="
+                f"{state_cw if state_cw is not None else '<unrecorded, assumed 0>'} "
+                f"but this call asked for {cfg.context_weight} — rebuild "
+                "with the desired weight (fresh out_dir)"
+            )
         return _read_published(spark, out_dir, cfg, meta, mode="noop")
-    if cfg.context_weight or meta.get("context_weight", 0.0):
-        # context-boosted scoring needs the co-mention neighborhoods of
-        # ALL mentions; the delta path deliberately never re-reads prior
-        # IR, so blending would silently diverge from the full build —
-        # refuse rather than break the module's exactness claim. A prior
-        # FULL finalize built with context_weight != 0 poisons the state
-        # for delta extension the same way (its entities embed context
-        # evidence the delta can't reproduce), so that raises too.
+    # context-boosted scoring needs the co-mention neighborhoods of ALL
+    # mentions; the delta path deliberately never re-reads prior IR, so
+    # blending would silently diverge from the full build — refuse
+    # rather than break the module's exactness claim. Covers BOTH
+    # directions (cfg asks for context over a 0-weight state, or the
+    # state embeds context evidence the delta can't reproduce). For
+    # EXTENDING a state, an absent key means UNKNOWN, not zero: a
+    # pre-upgrade state built with a non-zero weight must not be
+    # silently laundered as context-free.
+    if cfg.context_weight or state_cw is None or state_cw:
         raise ValueError(
             "incremental finalize does not support context_weight != 0 "
-            f"(cfg={cfg.context_weight}, state was built with "
-            f"{meta.get('context_weight', 0.0)}): context evidence "
-            "requires the full mention set, which the delta path never "
-            "reads. Run a full rebuild (fresh out_dir) or set "
-            "context_weight=0 from the start."
+            f"(cfg={cfg.context_weight}, state recorded "
+            f"{'<unrecorded — state predates the guard>' if state_cw is None else state_cw}): "
+            "context evidence requires the full mention set, which the "
+            "delta path never reads. Run a full rebuild (fresh out_dir) "
+            "with context_weight=0 — or, for a pre-upgrade state KNOWN "
+            "to have been built with the 0 default, add "
+            "'\"context_weight\": 0.0' to state/_meta.json."
         )
     return _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version)
 

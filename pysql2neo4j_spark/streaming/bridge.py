@@ -55,10 +55,40 @@ def _lineage_token(checkpoint_location: str) -> str:
         return "nolineage"
 
 
+def _is_preupgrade_lineage(spark, ckpt, checkpoint_location: str) -> bool:
+    """True iff the CURRENT checkpoint predates the newest legacy
+    (pre-token, ``stream-b<NNNNNN>``) manifest commit — i.e. it is the
+    same lineage that wrote those commits, upgraded in place. A FRESH
+    checkpoint (created after the legacy commits, batch ids restarting
+    at 0) must NOT match: its batches carry re-read data and skipping
+    them on a name collision silently drops rows — the exact trap the
+    lineage token exists to prevent."""
+    import datetime
+
+    try:
+        meta_mtime = os.stat(os.path.join(checkpoint_location, "metadata")).st_mtime
+    except OSError:
+        return False  # no checkpoint metadata: cannot be the pre-upgrade query
+    row = (
+        ckpt.manifest(spark)
+        .filter(
+            (F.col("stage") == STAGE_STREAM)
+            & F.col("run_dir").rlike("^stream-b[0-9]{6}$")
+        )
+        .agg(F.max("committed_at").alias("mx"))
+        .collect()
+    )
+    mx = row[0].mx if row else None
+    if mx is None:
+        return False
+    return meta_mtime < mx.replace(tzinfo=datetime.timezone.utc).timestamp()
+
+
 def make_extraction_sink(out_dir: str, cfg: PipelineConfig, checkpoint_location: str):
     """The foreachBatch sink as a standalone callable (unit-testable:
     tests replay a batch id directly to pin the idempotence contract)."""
     staged_root = os.path.join(out_dir, "extracted")
+    preupgrade_cache: dict[str, bool] = {}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -67,10 +97,16 @@ def make_extraction_sink(out_dir: str, cfg: PipelineConfig, checkpoint_location:
         # pre-token protocol named run dirs "stream-b<NNNNNN>": a store
         # upgraded over a live checkpoint replays its last batch under
         # the NEW name — match the legacy name too or the replay commits
-        # that batch's rows a second time.
+        # that batch's rows a second time. Scope: ONLY when this
+        # checkpoint IS the pre-upgrade lineage (it predates the legacy
+        # commits); a fresh lineage re-ingests visibly instead of
+        # silently dropping its colliding batch ids.
         legacy_run_dir = f"stream-b{batch_id:06d}"
         committed = ckpt.committed_run_dirs(spark, STAGE_STREAM)
-        if run_dir in committed or legacy_run_dir in committed:
+        legacy_hit = legacy_run_dir in committed and preupgrade_cache.setdefault(
+            "v", _is_preupgrade_lineage(spark, ckpt, checkpoint_location)
+        )
+        if run_dir in committed or legacy_hit:
             # replayed, already-committed batch: no data effects — but
             # the upstream stateful dedup still needs every partition
             # processed for its state-store commit (Spark 4 validates
