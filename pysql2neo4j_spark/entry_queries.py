@@ -1517,7 +1517,7 @@ def dedup_minhash_lsh(spark, sf_dir):
        )
        SELECT component AS cluster_id,
               CAST(count(*) AS BIGINT) AS n_members,
-              list_sort(list(id)) AS member_ids,
+              array_to_string(list_sort(list(id)), ',') AS members,
               CAST(arg_max(id, chars * 2000000000 - id) AS BIGINT) AS keeper_id
        FROM m GROUP BY component""",
 )
@@ -1526,11 +1526,23 @@ def dedup_cluster_keep(spark, sf_dir):
     near-dup pairs -> one quality keeper per CLUSTER (longest text,
     smallest-id tiebreak). The oracle rebuilds the components with a
     recursive transitive closure and elects via arg_max on the same
-    (chars, -id) order (ids and lengths bound the composite score)."""
+    (chars, -id) order (ids and lengths bound the composite score).
+    member_ids is stringified on BOTH engines (the dedup_exact
+    pattern): the driver's canonicalizer sorts rows in pandas and
+    array-typed columns are unhashable there — registry results must
+    be scalar-only (enforced by tests/test_registry_schemas.py)."""
     from .operators.dedup import cluster_keep_best
 
     d = _t(spark, sf_dir, "documents")
-    return cluster_keep_best(d, "doc_id", "text", n=3, threshold=0.8)
+    g = cluster_keep_best(d, "doc_id", "text", n=3, threshold=0.8)
+    return g.select(
+        "cluster_id",
+        "n_members",
+        F.concat_ws(
+            ",", F.transform(F.col("member_ids"), lambda x: x.cast("string"))
+        ).alias("members"),
+        "keeper_id",
+    )
 
 
 @register("dedup_simhash", _SQL_JACCARD_PAIRS.format(th=0.8))

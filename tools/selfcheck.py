@@ -16,11 +16,26 @@ import pandas as pd
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Canonical form: columns sorted by name, rows sorted by all cols."""
+    """Canonical form: columns sorted by name, rows sorted by all cols.
+
+    DRIVER-FAITHFUL (VERDICT r4 #2): the driver's canonicalizer sorts
+    rows in pandas and dies on array/map-typed columns (unhashable
+    list).  The r2-r4 leniency here (list -> tuple before sorting) let
+    dedup_cluster_keep pass locally while failing at the driver, so it
+    is gone: an array-typed result column now raises the same
+    TypeError the driver hits, and run_registry records it as FAIL.
+    Registry results must stringify collections (concat_ws /
+    array_to_string — the dedup_exact pattern)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            bad = df[c].map(lambda v: isinstance(v, (list, np.ndarray, dict))).any()
+            if bad:
+                raise TypeError(
+                    f"column {c!r} is array/map-typed — the driver's "
+                    "canonicalizer cannot sort it; stringify the column "
+                    "(concat_ws on Spark, array_to_string in the oracle)"
+                )
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
 
 
@@ -37,7 +52,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if sc != dc:
         problems.append(f"columns spark={sc} duck={dc}")
         return problems
-    a, b = canon(spark_pdf), canon(duck_pdf)
+    try:
+        a, b = canon(spark_pdf), canon(duck_pdf)
+    except TypeError as exc:  # array/map-typed column — driver-fatal
+        problems.append(f"canonicalize: {exc}")
+        return problems
     # dtype normalization for comparison
     for c in a.columns:
         if pd.api.types.is_datetime64_any_dtype(a[c]) or pd.api.types.is_datetime64_any_dtype(b[c]):
