@@ -170,7 +170,9 @@ def sweep_join(spark, name, corpus, Xc, ids_c, threshold, results):
         }
         rec = len(got & want) / len(want)
         probe_sizes = np.bincount(order[:, :n_probe].reshape(-1), minlength=n_cent)
-        cand = int((probe_sizes * home_sizes).sum()) - n * n_probe  # minus self pairs
+        # minus self pairs: a vector is a HOME only in its rank-1
+        # cell, so exactly n (id, id) pairs exist regardless of n_probe
+        cand = int((probe_sizes * home_sizes).sum()) - n
         frac = cand / (n * (n - 1))  # ordered-pair space (each pair seen from both sides)
         results.append({"corpus": name, "index": "ivf_join",
                         "param": f"n_probe={n_probe}, th={threshold}",

@@ -15,7 +15,7 @@ asserts on the fixtures (tests/test_dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import band_keys, hamming64, minhash_signature, simhash64
@@ -50,6 +50,7 @@ def _spread(df: DataFrame) -> DataFrame:
     #9). Non-scan inputs (no input files) pass through untouched:
     their partitioning is whatever the upstream plan produced."""
     import os
+    import urllib.parse
 
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -71,6 +72,9 @@ def _spread(df: DataFrame) -> DataFrame:
     total = 0
     for f in files:
         p = f[7:] if f.startswith("file://") else (f[5:] if f.startswith("file:") else f)
+        # inputFiles() returns URIs — percent-decode so paths with
+        # spaces etc. don't OSError into the trust-the-scan fallback
+        p = urllib.parse.unquote(p)
         try:
             total += os.path.getsize(p) + open_cost
         except OSError:
@@ -167,22 +171,50 @@ def minhash_lsh_pairs(
     bands: int = 12,
     rows: int = 2,
     threshold: float = 0.8,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs with exact verification —
     the scale path: signatures are O(rows x bands) per doc, candidates
     come from band-bucket equi-joins (shuffle on band hash), and only
     candidates pay the exact-Jaccard cost. P(candidate | J) =
-    1-(1-J^rows)^bands — 12x4 gives >1-1e-10 at J=0.97."""
+    1-(1-J^rows)^bands — 12x4 gives >1-1e-10 at J=0.97.
+
+    Degenerate-bucket guards (VERDICT r4 #3 — without them the
+    self-join goes quadratic inside one hot bucket and a single
+    straggler task owns the 100 TB run):
+
+    * band buckets larger than ``max_bucket`` are dropped via the same
+      count-window cap ``linking.candidate_pairs`` uses.  A bucket
+      that big is a templated/boilerplate signature (note
+      empty/whitespace docs all normalize to the single empty shingle
+      — the shared oracle contract — so at scale they are exactly such
+      a family), not a near-dup neighborhood.  An over-cap family is
+      excluded wholesale (all its bands collide identically), which is
+      the intended behavior: electing keepers inside a million-doc
+      identical family is ``exact_dup_groups``'s job at hash-groupBy
+      cost, not a pair-join's;
+    * the ``size(sh) > 0`` filter is defensive for callers that build
+      shingles upstream — raw text always yields >= 1 shingle."""
     # localCheckpoint before the self-join: Catalyst's analysis of a
     # self-join whose both sides carry the nested minhash lambda tree
     # is super-linear (measured: explain() alone hangs for minutes);
     # truncating lineage turns each side into a leaf. Same pattern as
     # MLlib's MinHashLSH, which also materializes signatures first.
-    sh = _with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sh = (
+        _with_shingles(df, id_col, text_col, n)
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
     sig = sh.select(
         "id", band_keys(minhash_signature(F.col("sh"), k=bands * rows), bands, rows).alias("bk")
     )
     buckets = sig.select("id", F.explode("bk").alias("bucket")).localCheckpoint(eager=True)
+    bw = Window.partitionBy("bucket")
+    buckets = (
+        buckets.withColumn("__bs", F.count("*").over(bw))
+        .filter(F.col("__bs") <= max_bucket)
+        .drop("__bs")
+    )
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "bucket")

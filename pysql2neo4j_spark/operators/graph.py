@@ -103,10 +103,15 @@ def build_edges(
         from that conv-rollup: n_obs/first_ts re-aggregate it on the
         edge keys (conv-rollup-sized shuffle, far below fact-sized),
         provenance ranks it. The r1-r3 shape ran two independent
-        fact-sized shuffles (base groupBy + per-conv distinct); the
-        branches share the rollup's Exchange via Spark's ReuseExchange
-        (identical subplans in one job — no persist of fact-sized
-        data, the dilemma the earlier two-branch design documented).
+        fact-sized shuffles (base groupBy + per-conv distinct).
+        ReuseExchange CANNOT fire across the two branches — each
+        prunes different columns, so the subplans are not identical
+        (verified empirically: 0 ReusedExchange nodes without a
+        persist) — so when the caller supplies a cache_registry the
+        conv-rollup (conv-rollup-sized, far below fact-sized) is
+        persisted and both branches read the cache; without a
+        registry (entry-query / dry-run paths) the fallback recomputes
+        the rollup per branch and pays the fact-sized shuffle twice.
       * provenance = the PROVENANCE_CAP lexicographically-smallest
         distinct conv_ids: a SALTED two-level rank over the rollup —
         a single window over (edge) would sort ALL of a hot edge's

@@ -103,9 +103,16 @@ def make_extraction_sink(out_dir: str, cfg: PipelineConfig, checkpoint_location:
         # silently dropping its colliding batch ids.
         legacy_run_dir = f"stream-b{batch_id:06d}"
         committed = ckpt.committed_run_dirs(spark, STAGE_STREAM)
-        legacy_hit = legacy_run_dir in committed and preupgrade_cache.setdefault(
-            "v", _is_preupgrade_lineage(spark, ckpt, checkpoint_location)
-        )
+        legacy_hit = False
+        if legacy_run_dir in committed:
+            # setdefault would evaluate the lineage probe (manifest
+            # scan + collect + os.stat) eagerly on EVERY colliding
+            # batch — guard explicitly so it runs once per query
+            if "v" not in preupgrade_cache:
+                preupgrade_cache["v"] = _is_preupgrade_lineage(
+                    spark, ckpt, checkpoint_location
+                )
+            legacy_hit = preupgrade_cache["v"]
         if run_dir in committed or legacy_hit:
             # replayed, already-committed batch: no data effects — but
             # the upstream stateful dedup still needs every partition
