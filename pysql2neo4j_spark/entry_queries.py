@@ -822,7 +822,15 @@ def _pii_oracle() -> str:
     from .functions.text import PII_PATTERNS
 
     e, p, s = PII_PATTERNS["email"], PII_PATTERNS["phone"], PII_PATTERNS["ssn"]
-    return f"""SELECT doc_id,
+    return f"""WITH aug AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 200000 AS doc_id,
+                text || ' reach user' || CAST(doc_id AS VARCHAR)
+                     || '{_PII_PLANT}' AS text
+         FROM documents WHERE doc_id % 25 = 0
+       )
+       SELECT doc_id,
               regexp_replace(regexp_replace(regexp_replace(text,
                   '{e}', '<EMAIL>', 'g'),
                   '{p}', '<PHONE>', 'g'),
@@ -830,21 +838,38 @@ def _pii_oracle() -> str:
               CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email,
               CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phone,
               CAST(len(regexp_extract_all(text, '{s}')) AS BIGINT) AS n_ssn
-       FROM documents"""
+       FROM aug"""
+
+
+_PII_PLANT = "@mail.example.com call 555-123-4567 id 123-45-6789"
 
 
 @register("text_pii_redact")
 def text_pii_redact(spark, sf_dir):
     """PII scrubbing (emails / phones / SSN-shaped ids -> typed
     placeholders + per-type counts) — pure regexp Columns, RE2-safe
-    patterns shared with the oracle (functions.text.PII_PATTERNS). On
-    the PII-free fixture the oracle doubles as a FALSE-POSITIVE gate
-    (redacted must equal text, counts 0 — value-hash-compared);
-    planted true positives are pytest-gated (tests/test_dedup.py)."""
+    patterns shared with the oracle (functions.text.PII_PATTERNS).
+    The fixture corpus is PII-free, so — the dedup_exact augmentation
+    pattern (VERDICT r4 #6) — both engines deterministically plant an
+    email+phone+SSN suffix on every 25th doc: the original rows gate
+    FALSE positives (redacted == text, counts 0) and the planted rows
+    gate TRUE positives (counts 1/1/1, placeholders present), all
+    value-hash-compared at the driver."""
     from .functions.text import redact_pii
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", *redact_pii("text"))
+    aug = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit(_PII_PLANT),
+            ).alias("text"),
+        )
+    )
+    return aug.select("doc_id", *redact_pii("text"))
 
 
 ORACLES["text_pii_redact"] = _pii_oracle()
@@ -2182,7 +2207,11 @@ _DEMOTED = [
     "text_decontaminate",      # span-overlap machinery driver-evidenced by dedup_spans
     "stream_stream_left_join", # inner variant is the in-cap family representative
     "udtf_python_tokens",      # JVM explode variant is the in-cap scale path
-    "text_pii_redact",         # fixture is PII-free (false-positive gate only here)
+    # text_pii_redact PROMOTED r5: planted true positives make the
+    # driver row evidence detection, not just restraint (VERDICT r4
+    # #6); scalar_conditional yields its slot — the scalar family
+    # keeps scalar_string_date_math + scalar_array_map_json in cap
+    "scalar_conditional",      # scalar family has 2 other in-cap keys
 ]
 for _k in _DEMOTED:
     QUERIES[_k] = QUERIES.pop(_k)

@@ -312,3 +312,28 @@ def test_minhash_lsh_degenerate_bucket_cap(spark):
     assert full.count() == 200 * 199 // 2 + 50 * 49 // 2 + 1
     # no cross-family pairs: empties never verify against real texts
     assert full.filter((F.col("id_a") < 1000) & (F.col("id_b") >= 1000)).count() == 0
+
+
+def test_pii_redact_registry_true_positives(spark):
+    """The registry key must evidence DETECTION, not just restraint
+    (VERDICT r4 #6): every planted row (doc_id >= 200000) counts
+    exactly one email/phone/SSN and carries all three placeholders;
+    original rows stay untouched."""
+    from pysql2neo4j_spark.entry_queries import QUERIES
+
+    out = QUERIES["text_pii_redact"](spark, "/root/testdata/sf0.001").cache()
+    planted = out.filter(F.col("doc_id") >= 200000)
+    n_planted = planted.count()
+    assert n_planted > 0
+    assert (
+        planted.filter(
+            (F.col("n_email") == 1) & (F.col("n_phone") == 1) & (F.col("n_ssn") == 1)
+            & F.col("redacted").contains("<EMAIL>")
+            & F.col("redacted").contains("<PHONE>")
+            & F.col("redacted").contains("<SSN>")
+        ).count()
+        == n_planted
+    )
+    orig = out.filter(F.col("doc_id") < 200000)
+    assert orig.filter((F.col("n_email") != 0) | (F.col("n_phone") != 0) | (F.col("n_ssn") != 0)).count() == 0
+    out.unpersist()
