@@ -91,20 +91,36 @@ def _driver_union_find(
         label.extend((x, m) for x in xs)
 
     vt = vertices.schema[vertex_col].dataType
-    mapping = spark.createDataFrame(
-        label,
-        T.StructType([T.StructField("id", vt), T.StructField("component", vt)]),
-    )
+    # Attach components to the (possibly huge, never collected) vertex
+    # frame. Two shapes by mapping size:
+    #   * small (alias-cluster vocabularies — the pipeline case): a
+    #     literal MAP lookup — a NARROW projection, no BroadcastExchange
+    #     job, no join stage; with checkpointed vertices the whole tail
+    #     is one short job (the cc stage is pure fixed cost at N->4N);
+    #   * large: broadcast left join as before (a literal expression
+    #     tree with 100k+ entries would choke the driver/codegen).
+    ids = vertices.select(F.col(vertex_col).alias("id"))
+    if len(label) <= 4096:
+        if label:
+            m = F.create_map(*[F.lit(x) for kv in label for x in kv])
+            comp = F.coalesce(m[F.col("id")], F.col("id"))
+        else:
+            comp = F.col("id")
+        out = ids.select("id", comp.alias("component"))
+    else:
+        mapping = spark.createDataFrame(
+            label,
+            T.StructType([T.StructField("id", vt), T.StructField("component", vt)]),
+        )
+        out = (
+            ids.join(F.broadcast(mapping), "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component"))
+        )
     # checkpoint like the superstep loop's labels: downstream consumers
     # (three broadcast joins in the pipeline) must re-read a
     # materialized vocabulary-sized frame, not re-run the vertices
     # aggregation (a fact-sized scan) once per consumer
-    return (
-        vertices.select(F.col(vertex_col).alias("id"))
-        .join(F.broadcast(mapping), "id", "left")
-        .select("id", F.coalesce("component", "id").alias("component"))
-        .localCheckpoint(eager=True)
-    )
+    return out.localCheckpoint(eager=True)
 
 
 def connected_components(
@@ -123,17 +139,20 @@ def connected_components(
     edges: undirected, given as (src, dst) pairs (any orientation).
     Raises ConvergenceError if not converged within ``max_iter``.
 
-    Small-graph fast path: after the symmetric edge list materializes,
-    one count decides the route. If edges fit under
-    ``small_graph_threshold`` (a BOUNDED collect — the same contract as
+    Small-graph fast path: ONE bounded job materializes the DIRECTED
+    edge list and decides the route. If the collect stays under
+    ``small_graph_threshold`` (the same boundedness contract as
     driver-side IVF centroid training), a driver union-find replaces
-    the superstep loop: on a vocabulary-sized graph each superstep is
-    pure fixed cost (an eager localCheckpoint job + two joins), ~2-4 s
-    of the 4N scaling wall for a 100-form graph (BENCH/BASELINE.md
-    decomposition). The distributed loop below is untouched and
-    remains the route for edge lists past the threshold; pass
+    the superstep loop — union-find is orientation-agnostic, so the
+    symmetrization (union + dropDuplicates + repartition, three extra
+    shuffle stages of pure fixed cost on a vocabulary-sized graph —
+    the cc stage of the N->4N decomposition in BENCH/BASELINE.md) is
+    built ONLY on the distributed route, where the superstep loop
+    needs it. The distributed loop itself is untouched; pass
     ``small_graph_threshold=0`` to force it (the equivalence pytest
-    does)."""
+    does). Note the threshold gates the DIRECTED edge count here
+    (~half the symmetric count the r2-r4 gate measured) — strictly
+    more conservative for driver memory."""
     spark = vertices.sparkSession
     if n_partitions is None:
         # session-parallelism default: touching vertices.rdd here would
@@ -144,23 +163,22 @@ def connected_components(
         n_partitions = max(4, spark.sparkContext.defaultParallelism)
     n_parts = n_partitions
 
+    directed = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if small_graph_threshold:
+        probe = directed.limit(small_graph_threshold + 1).collect()
+        if len(probe) <= small_graph_threshold:
+            return _driver_union_find(spark, vertices, vertex_col, directed, rows=probe)
+        # over threshold: limit() short-circuited a partial evaluation
+        # of the edge plan; fall through and build sym from the
+        # original plan (the superstep loop dominates on that route —
+        # callers with expensive edge plans checkpoint them upstream)
     sym = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        directed
         .unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .dropDuplicates(["src", "dst"])
         .repartition(n_parts, "src")
         .localCheckpoint(eager=True)
     )
-    if small_graph_threshold:
-        # ONE bounded job decides the route AND fetches the edges: a
-        # limit(threshold+1) collect over the checkpointed blocks
-        # replaces the r4 count-then-collect pair (each Spark job is
-        # pure fixed cost on a vocabulary-sized graph — the cc stage
-        # of the N->4N decomposition). The overfetch cap bounds driver
-        # memory exactly like the count gate did.
-        probe = sym.limit(small_graph_threshold + 1).collect()
-        if len(probe) <= small_graph_threshold:
-            return _driver_union_find(spark, vertices, vertex_col, sym, rows=probe)
 
     # superstep-0 seed: component = least(id, min neighbor) instead of
     # identity (VERDICT r2 #6) — one cheap aggregate on the symmetric
