@@ -15,7 +15,7 @@ asserts on the fixtures (tests/test_dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import band_keys, hamming64, minhash_signature, simhash64
@@ -200,21 +200,36 @@ def minhash_lsh_pairs(
     # is super-linear (measured: explain() alone hangs for minutes);
     # truncating lineage turns each side into a leaf. Same pattern as
     # MLlib's MinHashLSH, which also materializes signatures first.
-    sh = (
-        _with_shingles(df, id_col, text_col, n)
-        .filter(F.size("sh") > 0)
-        .localCheckpoint(eager=True)
+    # the size guard comes AFTER the checkpoint: filtering on size(sh)
+    # over the live plan gets pushed below the shingle projection, so
+    # the most expensive expression in the query is evaluated TWICE
+    # per row (once for the filter, once for the project — the same
+    # CollapseProject/pushdown pathology the module header documents;
+    # measured ~3x the whole key at sf0.1). Over the checkpoint, sh is
+    # a stored column and size() is a cheap narrow filter.
+    sh = _with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True).filter(
+        F.size("sh") > 0
     )
     sig = sh.select(
         "id", band_keys(minhash_signature(F.col("sh"), k=bands * rows), bands, rows).alias("bk")
     )
     buckets = sig.select("id", F.explode("bk").alias("bucket")).localCheckpoint(eager=True)
-    bw = Window.partitionBy("bucket")
-    buckets = (
-        buckets.withColumn("__bs", F.count("*").over(bw))
-        .filter(F.col("__bs") <= max_bucket)
-        .drop("__bs")
+    # over-cap buckets via hash-aggregate + broadcast ANTI join, not a
+    # count window: the window shape shuffles AND sorts the whole
+    # corpus-sized bucket frame — twice, once per self-join side
+    # (measured 12.1 s vs 3.8 s for the sf0.1 key) — while the
+    # aggregate is map-side combined down to distinct buckets and the
+    # hot list is at most (n_docs * bands / max_bucket) rows, so the
+    # filter is a broadcast-hash anti probe with no extra shuffle.
+    # (linking.candidate_pairs keeps its window: its keys frame is
+    # vocabulary-sized, where the window is cheaper than a second agg.)
+    hot = (
+        buckets.groupBy("bucket")
+        .agg(F.count("*").alias("__bs"))
+        .filter(F.col("__bs") > max_bucket)
+        .select("bucket")
     )
+    buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "bucket")
