@@ -1347,6 +1347,16 @@ _SQL_JACCARD_PAIRS = (
 )
 
 
+def _ids_csv(col):
+    """The driver-canonicalizer contract for id collections: registry
+    results must be scalar-only (tests/test_registry_schemas.py), so
+    member-id arrays flatten to a comma-joined string — matching
+    ``string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)`` /
+    ``array_to_string(list_sort(...), ',')`` on the DuckDB side.
+    Callers must pass an already-sorted array."""
+    return F.concat_ws(",", F.transform(F.col(col), lambda x: x.cast("string")))
+
+
 @register(
     "dedup_exact",
     """WITH aug AS (
@@ -1378,7 +1388,7 @@ def dedup_exact(spark, sf_dir):
         "content_hash",
         "n_copies",
         "keeper_id",
-        F.concat_ws(",", F.transform(F.col("member_ids"), lambda x: x.cast("string"))).alias("members"),
+        _ids_csv("member_ids").alias("members"),
     )
 
 
@@ -1563,9 +1573,7 @@ def dedup_cluster_keep(spark, sf_dir):
     return g.select(
         "cluster_id",
         "n_members",
-        F.concat_ws(
-            ",", F.transform(F.col("member_ids"), lambda x: x.cast("string"))
-        ).alias("members"),
+        _ids_csv("member_ids").alias("members"),
         "keeper_id",
     )
 

@@ -54,20 +54,17 @@ class ConvergenceError(RuntimeError):
 
 
 def _driver_union_find(
-    spark, vertices: DataFrame, vertex_col: str, sym: DataFrame, rows=None
+    spark, vertices: DataFrame, vertex_col: str, rows
 ) -> DataFrame:
-    """Small-graph CC: path-compressed union-find over a BOUNDED edge
-    collect (the caller gates on ``small_graph_threshold``). Only
-    edge-INCIDENT vertices are collected — the vertex frame itself is
-    never pulled to the driver, so a huge vocabulary with few
-    similarity edges stays distributed: singletons resolve to
-    themselves through the left join below. ``rows`` lets the caller
-    hand over an already-collected edge list (the route probe) so the
-    edges cross to the driver exactly once."""
+    """Small-graph CC: path-compressed union-find over ``rows``, the
+    BOUNDED edge collect the route probe already fetched (the caller
+    gates on ``small_graph_threshold`` — edges cross to the driver
+    exactly once). Only edge-INCIDENT vertices appear in ``rows`` —
+    the vertex frame itself is never pulled to the driver, so a huge
+    vocabulary with few similarity edges stays distributed: singletons
+    resolve to themselves in the attach step below."""
     from pyspark.sql import types as T
 
-    if rows is None:
-        rows = sym.collect()
     parent: dict = {}
 
     def find(x):
@@ -165,16 +162,20 @@ def connected_components(
 
     directed = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if small_graph_threshold:
+        # the upstream edge plan (candidate self-join + scoring in the
+        # pipeline) is materialized EXACTLY ONCE, into this checkpoint;
+        # the probe then reads cached blocks, and the over-threshold
+        # route builds sym from the same cache instead of re-running
+        # the plan (a limit().collect() probe on the live plan would
+        # evaluate the whole map side of its shuffles, then sym would
+        # pay the full plan AGAIN on precisely the expensive route)
+        directed = directed.localCheckpoint(eager=True)
         probe = directed.limit(small_graph_threshold + 1).collect()
         if len(probe) <= small_graph_threshold:
-            return _driver_union_find(spark, vertices, vertex_col, directed, rows=probe)
-        # over threshold: limit() short-circuited a partial evaluation
-        # of the edge plan; fall through and build sym from the
-        # original plan (the superstep loop dominates on that route —
-        # callers with expensive edge plans checkpoint them upstream)
+            return _driver_union_find(spark, vertices, vertex_col, rows=probe)
     sym = (
         directed
-        .unionByName(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .unionByName(directed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates(["src", "dst"])
         .repartition(n_parts, "src")
         .localCheckpoint(eager=True)

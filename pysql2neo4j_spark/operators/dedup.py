@@ -183,16 +183,24 @@ def minhash_lsh_pairs(
     self-join goes quadratic inside one hot bucket and a single
     straggler task owns the 100 TB run):
 
-    * band buckets larger than ``max_bucket`` are dropped via the same
-      count-window cap ``linking.candidate_pairs`` uses.  A bucket
-      that big is a templated/boilerplate signature (note
+    * band buckets larger than ``max_bucket`` are dropped — the same
+      cap SEMANTICS as ``linking.candidate_pairs``, implemented as a
+      hash-aggregate + anti join (see the inline note: the count-window
+      shape shuffles and sorts the corpus-sized bucket frame twice).
+      A bucket that big is a templated/boilerplate signature (note
       empty/whitespace docs all normalize to the single empty shingle
       — the shared oracle contract — so at scale they are exactly such
       a family), not a near-dup neighborhood.  An over-cap family is
       excluded wholesale (all its bands collide identically), which is
       the intended behavior: electing keepers inside a million-doc
       identical family is ``exact_dup_groups``'s job at hash-groupBy
-      cost, not a pair-join's;
+      cost, not a pair-join's.  CONTRACT: exact-Jaccard-oracle
+      equality (the registry key, and the lsh==jaccard equivalence
+      ``cluster_keep_best`` relies on) holds exactly while every
+      band bucket is <= ``max_bucket`` — i.e. while no identical
+      family exceeds the cap, the operating regime the cap enforces;
+      past it the capped path deliberately under-reports (run
+      ``exact_dup_groups`` first to collapse identical families);
     * the ``size(sh) > 0`` filter is defensive for callers that build
       shingles upstream — raw text always yields >= 1 shingle."""
     # localCheckpoint before the self-join: Catalyst's analysis of a
@@ -219,17 +227,21 @@ def minhash_lsh_pairs(
     # corpus-sized bucket frame — twice, once per self-join side
     # (measured 12.1 s vs 3.8 s for the sf0.1 key) — while the
     # aggregate is map-side combined down to distinct buckets and the
-    # hot list is at most (n_docs * bands / max_bucket) rows, so the
-    # filter is a broadcast-hash anti probe with no extra shuffle.
+    # hot list is at most (n_docs * bands / max_bucket) rows.
     # (linking.candidate_pairs keeps its window: its keys frame is
     # vocabulary-sized, where the window is cheaper than a second agg.)
+    # The anti join is deliberately UNHINTED: hot is usually empty or
+    # tiny and AQE broadcasts it at runtime, but on a boilerplate-heavy
+    # corpus at 10^10 docs the bound above is millions of rows — an
+    # explicit broadcast hint is never demoted and would blow the
+    # driver (the flag_boilerplate_positions precedent in this file).
     hot = (
         buckets.groupBy("bucket")
         .agg(F.count("*").alias("__bs"))
         .filter(F.col("__bs") > max_bucket)
         .select("bucket")
     )
-    buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
+    buckets = buckets.join(hot, "bucket", "left_anti")
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "bucket")

@@ -31,10 +31,15 @@ def test_no_collection_columns_in_any_registered_query(spark):
     """Every registry key — in-cap AND demoted — must return a
     scalar-only schema.  Demoted keys are included because the 50-key
     cap boundary moves whenever a key is added (builder memory:
-    ks[46:50] churn), so a demoted array-returning key is a landmine."""
+    ks[46:50] churn), so a demoted array-returning key is a landmine.
+
+    Nothing here collects RESULTS, but constructing some queries does
+    run bounded Spark jobs (eager localCheckpoints, the CC route
+    probe) — this gate is about result schemas, not about being a
+    static/no-execution check."""
     offenders = {}
     for name, fn in entry.queries().items():
-        df = fn(spark, SF_SMOKE)  # plan only — no job runs
+        df = fn(spark, SF_SMOKE)  # definition only — results never collected
         bad = [
             f.name
             for f in df.schema.fields
