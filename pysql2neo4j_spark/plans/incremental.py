@@ -41,6 +41,17 @@ State commits are atomic: version directories are written first, then
 _meta.json flips to the new version via rename; a crash mid-finalize
 leaves the prior version live and the orphan vN is overwritten by the
 retry.
+
+Known cost (parquet-seam price): while the PUBLISHED edge table is
+rewritten selectively (affected buckets only), the versioned edge
+STATE is written in full each finalize — version isolation under the
+no-Iceberg constraint requires a self-contained vN (a selectively-
+overwritten state dir would race its own readers and break the
+crash-rollback story above). Edge state is edge-count-sized, orders
+of magnitude below the IR the delta path avoids re-scanning (the
+measured crossover in BENCH/BASELINE.md includes this write); with an
+Iceberg runtime the state becomes snapshots of the published table
+itself and this copy disappears.
 """
 
 from __future__ import annotations
