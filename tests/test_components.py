@@ -107,3 +107,35 @@ def test_cc_min_label_is_component_id(spark):
         (r.id, r.component) for r in connected_components(vdf, edf).collect()
     )
     assert got == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
+def test_cc_probe_overflow_falls_through_to_superstep_loop(spark):
+    """small_graph_threshold > 0 but edges exceed it: the route probe
+    must fall through to the distributed loop and still be exact."""
+    n = 40
+    vertices = [f"p{i:03d}" for i in range(n)]
+    edges = [(vertices[i], vertices[i + 1]) for i in range(n - 1)]
+    vdf = spark.createDataFrame([(v,) for v in vertices], ["id"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.id: r.component
+        for r in connected_components(vdf, edf, small_graph_threshold=10).collect()
+    }
+    assert got == {v: vertices[0] for v in vertices}
+
+
+def test_cc_large_mapping_uses_broadcast_join_branch(spark):
+    """>4096 labeled vertices exercises the broadcast-join attach (the
+    literal-map shape caps at 4096 entries); result equality with the
+    small-graph answer is the gate."""
+    pairs = [(2 * i, 2 * i + 1) for i in range(3000)]  # 6000 labels
+    verts = [(x,) for p in pairs for x in p] + [(999_999,)]  # + a singleton
+    vdf = spark.createDataFrame(verts, ["id"])
+    edf = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {
+        r.id: r.component
+        for r in connected_components(vdf, edf, small_graph_threshold=100_000).collect()
+    }
+    expect = {x: min(p) for p in pairs for x in p}
+    expect[999_999] = 999_999
+    assert got == expect
