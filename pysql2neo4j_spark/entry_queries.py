@@ -1569,7 +1569,12 @@ def dedup_cluster_keep(spark, sf_dir):
     from .operators.dedup import cluster_keep_best
 
     d = _t(spark, sf_dir, "documents")
-    g = cluster_keep_best(d, "doc_id", "text", n=3, threshold=0.8)
+    # method="lsh": the registry exercises the 100 TB candidate path
+    # (banded MinHash, capped buckets) — verification makes the pair
+    # set identical to the inverted-index baseline at this threshold,
+    # so the recursive-closure oracle holds for both (the equivalence
+    # is separately pytest-gated in tests/test_dedup.py)
+    g = cluster_keep_best(d, "doc_id", "text", n=3, threshold=0.8, method="lsh")
     return g.select(
         "cluster_id",
         "n_members",
