@@ -56,10 +56,9 @@ def _extract_batch(texts: pd.Series) -> pd.DataFrame:
     sents = sents.dropna(subset=["sent"])
     # char offset of each sentence inside its turn: sentences are joined by
     # one whitespace char, so offset = cumsum(len+1) shifted within rid.
-    slen = sents["sent"].str.len()
-    sents = sents.assign(
-        soff=(slen + 1).groupby(sents["rid"]).cumsum().groupby(sents["rid"]).shift(fill_value=0)
-    )
+    slen1 = sents["sent"].str.len() + 1
+    # inclusive grouped cumsum minus the element = exclusive prefix sum
+    sents = sents.assign(soff=slen1.groupby(sents["rid"]).cumsum() - slen1)
 
     m_parts: list[pd.DataFrame] = []
     t_parts: list[pd.DataFrame] = []
@@ -261,11 +260,11 @@ def _sentences(pdf: pd.DataFrame) -> pd.DataFrame:
     base = pdf.reset_index(drop=True)
     sents = base.assign(sent=base["text"].fillna("").str.split(_SENT_SPLIT)).explode("sent")
     sents = sents.dropna(subset=["sent"])
-    slen = sents["sent"].str.len()
-    # offset of sentence k = sum(len+1) of sentences before it in the turn
-    sents = sents.assign(
-        soff=(slen + 1).groupby(sents.index).cumsum().groupby(sents.index).shift(fill_value=0)
-    )
+    slen1 = sents["sent"].str.len() + 1
+    # offset of sentence k = sum(len+1) of sentences before it in the
+    # turn = inclusive grouped cumsum minus the element itself — one
+    # groupby instead of the cumsum + grouped-shift pair
+    sents = sents.assign(soff=slen1.groupby(sents.index).cumsum() - slen1)
     # unique index: the explode duplicates the turn index per sentence,
     # and downstream label-based selection must not fan out
     return sents.reset_index(drop=True)
