@@ -1992,6 +1992,31 @@ def text_token_fingerprint(spark, sf_dir):
     )
 
 
+@register(
+    "sample_hash_split",
+    """SELECT doc_id,
+              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (functions.hashing.
+    hash_split): split = pure function of md5(doc_id)'s first hex byte
+    — 256 uniform buckets, string cut points 'cd' (205/256 ~ 80.1%
+    train) and 'e6' (25/256 ~ 9.8% val) — so membership is
+    reproducible across runs, engines, and cluster sizes, unlike
+    randomSplit. The oracle evaluates the IDENTICAL rule in DuckDB
+    (md5 hex is engine-portable; no hex->int conversion needed)."""
+    from .functions.hashing import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        hash_split(F.col("doc_id"), {"train": "cd", "val": "e6", "test": "zz"}).alias("split"),
+    )
+
+
 # =====================================================================
 # Multimodal plumbing (stubbed decode; real Spark-side contract)
 # =====================================================================
@@ -2225,6 +2250,13 @@ _DEMOTED = [
     # #6); scalar_conditional yields its slot — the scalar family
     # keeps scalar_string_date_math + scalar_array_map_json in cap
     "scalar_conditional",      # scalar family has 2 other in-cap keys
+    # sample_hash_split ADDED r5 in-cap (deterministic dataset
+    # splitting — a training-pipeline family not previously
+    # represented); text_token_fingerprint yields its slot — the text
+    # family keeps text_lang_id + text_quality in cap, and the
+    # fingerprint machinery (md5-of-normalized) is exercised by the
+    # new key's identical md5 contract
+    "text_token_fingerprint",  # text family has 2 other in-cap keys
 ]
 for _k in _DEMOTED:
     QUERIES[_k] = QUERIES.pop(_k)

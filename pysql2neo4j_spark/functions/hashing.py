@@ -83,3 +83,27 @@ def simhash64(tokens_col: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit simhashes (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def hash_split(col: Column, cuts: dict[str, str]) -> Column:
+    """Deterministic, engine-portable dataset split assignment — the
+    reproducible train/val/test partitioner a training-data pipeline
+    needs: split membership must be a pure function of the record key
+    (stable across runs, cluster sizes, and engines), never an RNG
+    draw (``df.randomSplit`` reshuffles membership whenever
+    partitioning changes).
+
+    The bucket is the FIRST TWO HEX CHARS of md5(key) — 256 uniform
+    buckets — compared against string cut points, so the exact same
+    rule evaluates on Spark and DuckDB without any hex->int
+    conversion (DuckDB has no ``conv``).  ``cuts`` maps split name ->
+    EXCLUSIVE upper cut ('cd' = 205/256 ~ 80.1%), evaluated in
+    insertion order; the last entry should be the catch-all with cut
+    'zz'. Scale shape: one md5 + substring per row, pure
+    whole-stage-codegen Columns, no shuffle."""
+    bucket = F.substring(F.md5(col.cast("string")), 1, 2)
+    expr = None
+    for name, cut in cuts.items():
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr.otherwise(F.lit(list(cuts)[-1]))

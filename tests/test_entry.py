@@ -50,3 +50,20 @@ def test_query_smoke(spark, key):
     df = entry_mod.queries()[key](spark, SF)
     assert df.count() >= 0  # executes without error; schema resolvable
     assert df.columns
+
+
+def test_hash_split_deterministic_and_balanced(spark):
+    """Split assignment is a pure function of the key (stable across
+    repartitionings) and lands near the 80/10/10 design ratios."""
+    from pysql2neo4j_spark.functions.hashing import hash_split
+    from pyspark.sql import functions as F
+
+    df = spark.range(20000).select(F.col("id").alias("k"))
+    cuts = {"train": "cd", "val": "e6", "test": "zz"}
+    a = df.select("k", hash_split(F.col("k"), cuts).alias("s"))
+    b = df.repartition(17, "k").select("k", hash_split(F.col("k"), cuts).alias("s"))
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    frac = {r.s: r.n / 20000 for r in a.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert abs(frac["train"] - 205 / 256) < 0.02
+    assert abs(frac["val"] - 25 / 256) < 0.01
+    assert abs(frac["test"] - 26 / 256) < 0.01
