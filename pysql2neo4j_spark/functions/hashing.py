@@ -98,12 +98,18 @@ def hash_split(col: Column, cuts: dict[str, str]) -> Column:
     rule evaluates on Spark and DuckDB without any hex->int
     conversion (DuckDB has no ``conv``).  ``cuts`` maps split name ->
     EXCLUSIVE upper cut ('cd' = 205/256 ~ 80.1%), evaluated in
-    insertion order; the last entry should be the catch-all with cut
-    'zz'. Scale shape: one md5 + substring per row, pure
-    whole-stage-codegen Columns, no shuffle."""
+    insertion order; the LAST entry is the catch-all (its cut value
+    is ignored — it becomes the ``otherwise`` branch). Scale shape:
+    one md5 + substring per row, pure whole-stage-codegen Columns,
+    no shuffle."""
+    if not cuts:
+        raise ValueError("hash_split needs at least one split name in cuts")
     bucket = F.substring(F.md5(col.cast("string")), 1, 2)
+    names = list(cuts)
     expr = None
-    for name, cut in cuts.items():
-        cond = bucket < F.lit(cut)
+    for name in names[:-1]:
+        cond = bucket < F.lit(cuts[name])
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    return expr.otherwise(F.lit(list(cuts)[-1]))
+    if expr is None:
+        return F.lit(names[-1])
+    return expr.otherwise(F.lit(names[-1]))
