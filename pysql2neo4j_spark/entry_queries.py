@@ -1995,25 +1995,32 @@ def text_token_fingerprint(spark, sf_dir):
 @register(
     "sample_hash_split",
     """SELECT doc_id,
-              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e8a3' THEN 'holdout'
                    ELSE 'test' END AS split
        FROM documents""",
 )
 def sample_hash_split(spark, sf_dir):
-    """Deterministic train/val/test assignment (functions.hashing.
-    hash_split): split = pure function of md5(doc_id)'s first hex byte
-    — 256 uniform buckets, string cut points 'cd' (205/256 ~ 80.1%
-    train) and 'e6' (25/256 ~ 9.8% val) — so membership is
-    reproducible across runs, engines, and cluster sizes, unlike
-    randomSplit. The oracle evaluates the IDENTICAL rule in DuckDB
-    (md5 hex is engine-portable; no hex->int conversion needed)."""
+    """Deterministic train/val/holdout/test assignment
+    (functions.hashing.hash_split): split = pure function of
+    md5(doc_id)'s first FOUR hex chars — 65,536 uniform buckets
+    (VERDICT r5 #5), string cut points 'cccd' (0xcccd/65536 ~ 80.0%
+    train), 'e666' (~10.0% val), 'e8a3' (573/65536 = 0.87% holdout —
+    the sub-percent eval slice the two-char form could not express) —
+    so membership is reproducible across runs, engines, and cluster
+    sizes, unlike randomSplit. The oracle evaluates the IDENTICAL
+    rule in DuckDB (md5 hex is engine-portable; no hex->int
+    conversion needed)."""
     from .functions.hashing import hash_split
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        hash_split(F.col("doc_id"), {"train": "cd", "val": "e6", "test": "zz"}).alias("split"),
+        hash_split(
+            F.col("doc_id"),
+            {"train": "cccd", "val": "e666", "holdout": "e8a3", "test": "zzzz"},
+        ).alias("split"),
     )
 
 

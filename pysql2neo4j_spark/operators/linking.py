@@ -92,12 +92,21 @@ def candidate_pairs(
     bands: int = DEFAULT_BANDS,
     rows: int = DEFAULT_ROWS,
     max_block: int = DEFAULT_MAX_BLOCK,
+    pre_shingled: bool = False,
 ) -> DataFrame:
     """Distinct unordered candidate pairs (norm_a < norm_b) via blocking.
 
     Blocks larger than ``max_block`` are dropped entirely: a block that
     big is a stopword-like key whose pairs would be quadratic noise; the
-    union of the two schemes keeps recall (tests/test_linking.py)."""
+    union of the two schemes keeps recall (tests/test_linking.py).
+
+    ``pre_shingled``: the caller PROMISES ``forms`` already carries a
+    materialized+checkpointed ``sh`` char-shingle column (what
+    ``link_candidates`` builds). This is an explicit contract flag, not
+    an inference from column presence (ADVICE r5): a caller that adds
+    ``sh`` inline WITHOUT localCheckpoint would re-enable the
+    documented Catalyst self-join analysis hang (explain() alone takes
+    minutes over a live shingle expression tree) with no guard."""
     # lineage cut before the self-join: both sides would otherwise carry
     # the nested minhash lambda tree, which Catalyst's self-join
     # analysis handles super-linearly (see operators/dedup.py).
@@ -110,10 +119,15 @@ def candidate_pairs(
     # dim-sized, so the checkpoint is cheap. The shingle array is
     # materialized INTO the checkpoint so the minhash lambdas reference a
     # stored column, not an inlinable expression (see blocking_keys).
-    # A caller that already checkpointed a shingled forms frame
-    # (link_candidates) passes it through untouched — re-checkpointing
-    # a checkpoint would just copy vocabulary blocks.
-    if "sh" not in forms.columns:
+    # A pre_shingled caller's frame passes through untouched —
+    # re-checkpointing a checkpoint would just copy vocabulary blocks.
+    if pre_shingled:
+        if "sh" not in forms.columns:
+            raise ValueError(
+                "candidate_pairs(pre_shingled=True) requires a materialized "
+                "'sh' shingle column (see link_candidates)"
+            )
+    else:
         forms = forms.withColumn("sh", char_shingles(F.col("norm"))).localCheckpoint(eager=True)
     keys = blocking_keys(forms, bands, rows).localCheckpoint(eager=True)
     w = Window.partitionBy("block_key")
@@ -274,7 +288,7 @@ def link_candidates(
         .withColumn("sh", char_shingles(F.col("norm")))
         .localCheckpoint(eager=True)
     )
-    pairs = candidate_pairs(forms, bands, rows, max_block)
+    pairs = candidate_pairs(forms, bands, rows, max_block, pre_shingled=True)
     if context_weight:
         scored = context_boosted_scores(pairs, mentions, context_weight)
         edges = scored.filter(F.col("score") >= F.lit(threshold))

@@ -139,3 +139,31 @@ def test_cc_large_mapping_uses_broadcast_join_branch(spark):
     expect = {x: min(p) for p in pairs for x in p}
     expect[999_999] = 999_999
     assert got == expect
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    """ADVICE r5: the route probe's directed-edge-list checkpoint must
+    be releasable once sym (or the union-find result) materializes —
+    two edge-list-sized copies held for the query lifetime is exactly
+    the large-route memory shape the advice flagged. The helper frees
+    the blocks NOW (not at driver GC); the frame is dead afterwards by
+    contract."""
+    from pysql2neo4j_spark.operators.components import _release_local_checkpoint
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def ids():
+        m = jsc.getPersistentRDDs()
+        it, out = m.iterator(), set()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    before = ids()
+    df = spark.range(10_000).selectExpr("id as src", "id + 1 as dst").localCheckpoint(
+        eager=True
+    )
+    new = ids() - before
+    assert len(new) == 1, f"expected exactly one new persistent RDD, got {new}"
+    _release_local_checkpoint(df)
+    assert not (ids() & new), "checkpoint blocks still persistent after release"

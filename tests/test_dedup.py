@@ -321,6 +321,22 @@ def test_pii_redact_registry_true_positives(spark):
     original rows stay untouched."""
     from pysql2neo4j_spark.entry_queries import QUERIES
 
+    # Guard the plant-offset invariant (ADVICE r5): the planted ids are
+    # original + 200000, so the planted/original split below silently
+    # misclassifies rows on any fixture with doc_id >= 200000. Both
+    # engines would still agree (the oracle plants identically) — only
+    # THIS test's split would rot, so fail loudly here instead.
+    max_orig = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .agg(F.max("doc_id"))
+        .collect()[0][0]
+    )
+    assert max_orig < 200000, (
+        f"fixture doc_id up to {max_orig} collides with the +200000 PII "
+        "plant offset; raise the offset in entry_queries._pii_oracle/"
+        "text_pii_redact and this test together"
+    )
+
     out = QUERIES["text_pii_redact"](spark, "/root/testdata/sf0.001").cache()
     planted = out.filter(F.col("doc_id") >= 200000)
     n_planted = planted.count()

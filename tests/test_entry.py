@@ -54,7 +54,10 @@ def test_query_smoke(spark, key):
 
 def test_hash_split_deterministic_and_balanced(spark):
     """Split assignment is a pure function of the key (stable across
-    repartitionings) and lands near the 80/10/10 design ratios."""
+    repartitionings) and lands near the 80/10/10 design ratios.
+    Two-char cut points (the r5 API) must keep their exact fractions
+    under the four-char bucket (string comparison: 'cdxx' < 'cd' is
+    false, so the boundary is unchanged)."""
     from pysql2neo4j_spark.functions.hashing import hash_split
     from pyspark.sql import functions as F
 
@@ -67,3 +70,43 @@ def test_hash_split_deterministic_and_balanced(spark):
     assert abs(frac["train"] - 205 / 256) < 0.02
     assert abs(frac["val"] - 25 / 256) < 0.01
     assert abs(frac["test"] - 26 / 256) < 0.01
+
+
+def test_hash_split_subpercent_granularity(spark):
+    """Four-hex-char buckets (VERDICT r5 #5) express sub-percent
+    slices: a 0.87% holdout band ('e666'..'e8a3') lands within
+    sampling noise of 573/65536, which the 1/256 two-char form could
+    never carve (its minimum slice is ~0.39% and only at byte
+    boundaries)."""
+    from pysql2neo4j_spark.functions.hashing import hash_split
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    cuts = {"train": "cccd", "val": "e666", "holdout": "e8a3", "test": "zzzz"}
+    got = {
+        r.s: r.n
+        for r in df.select(hash_split(F.col("k"), cuts).alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    expect = 573 / 65536  # 0.87%
+    assert abs(got["holdout"] / n - expect) < 0.002
+    assert abs(got["train"] / n - 0xCCCD / 65536) < 0.01
+
+
+def test_hash_split_rejects_unordered_cuts(spark):
+    """ADVICE r5: out-of-order cut points would make later splits
+    silently unreachable under the first-match-wins when-chain —
+    that must raise, not mislabel."""
+    import pytest
+    from pysql2neo4j_spark.functions.hashing import hash_split
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="ascending"):
+        hash_split(F.col("k"), {"val": "e6", "train": "cd", "test": "zz"})
+    with pytest.raises(ValueError, match="ascending"):
+        hash_split(F.col("k"), {"a": "80", "b": "80", "rest": "zz"})
+    with pytest.raises(ValueError, match="at least one"):
+        hash_split(F.col("k"), {})
