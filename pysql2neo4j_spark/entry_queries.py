@@ -1608,9 +1608,14 @@ def dedup_simhash(spark, sf_dir):
        WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.45""",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs with sign-bucket candidate
-    pruning (both engines apply the identical bucket rule, so the
-    approximate candidate set is itself oracle-checked)."""
+    """Embedding-cosine near-dup pairs. At fixture scale the operator's
+    size gate resolves to the sign-bucket candidate path, whose bucket
+    rule both engines apply identically — so the approximate candidate
+    set is itself oracle-checked. Above ``large_corpus_threshold``
+    (default 100k) the same call routes through the IVF-cell join
+    (VERDICT r5 #1; skew-gated in tests/test_dedup.py) — the sign
+    buckets are corpus/4 all-pairs blocks and must never run at
+    scale."""
     from .operators.dedup import embedding_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")

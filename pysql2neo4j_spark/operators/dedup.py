@@ -259,6 +259,7 @@ def simhash_pairs(
     max_hamming: int = 6,
     verify_threshold: float | None = 0.8,
     n: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit token simhash, blocked on the
     eight 8-bit chunks — by pigeonhole, any pair within hamming<=7 must
@@ -267,7 +268,25 @@ def simhash_pairs(
     verified by hamming distance and (optionally) exact shingle Jaccard.
     Scale note: 8-bit chunk blocks are big (<=256 distinct values per
     position); production simhash uses permuted 16-bit tables (Manku et
-    al., WWW'07) — same plan shape, more blocks."""
+    al., WWW'07) — same plan shape, more blocks.
+
+    Degenerate-block guard (VERDICT r5 #2): with only 256 values per
+    chunk position, blocks are ~corpus/256 even on a HEALTHY corpus —
+    the chunk self-join would go quadratic inside every block at web
+    scale. Chunk buckets larger than ``max_bucket`` are dropped via the
+    same hash-aggregate + unhinted anti join as ``minhash_lsh_pairs``
+    (the count-window shape was measured 3x slower there, and an
+    explicit broadcast hint on the hot list can blow the driver on a
+    templated corpus). CONTRACT mirror of the LSH cap: pigeonhole
+    recall up to h=7 holds exactly while every chunk bucket is <=
+    ``max_bucket``; past it the capped path deliberately under-reports
+    — a bucket that hot is an identical/templated family whose
+    collapse is ``exact_dup_groups``'s job first. Unlike the LSH cap
+    (where an over-cap family's bands ALL collide, excluding it
+    cleanly), an over-cap CHUNK here may also carry genuinely distinct
+    docs that agree on one byte by chance; they keep their other 7
+    chunks, so only pairs whose EVERY agreeing chunk is over-cap are
+    lost."""
     base = _spread(df).select(F.col(id_col).alias("id"), norm_text(F.col(text_col)).alias("txt"))
     # lineage cut before the self-join (see minhash_lsh_pairs).
     sigs = base.select("id", "txt", simhash64(tokens(F.col("txt"))).alias("sim")).localCheckpoint(
@@ -286,6 +305,13 @@ def simhash_pairs(
             ])
         ).alias("chunk"),
     )
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.count("*").alias("__bs"))
+        .filter(F.col("__bs") > max_bucket)
+        .select("chunk")
+    )
+    chunks = chunks.join(hot, "chunk", "left_anti")
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"), "chunk")
@@ -311,14 +337,59 @@ def embedding_dup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     n_buckets: int = 4,
+    large_corpus_threshold: int = 100_000,
+    n_centroids: int = 256,
+    n_probe: int = 2,
+    train_sample: int = 20_000,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs. Candidate generation buckets on
-    coordinate sign bits (near-identical vectors agree on every stable
-    sign); the exact cosine runs only within buckets. For true ANN-scale
-    recall use operators/similarity.py's IVF path."""
+    """Embedding-cosine near-dup pairs, size-routed (VERDICT r5 #1).
+
+    Small corpora (a bounded ``limit(threshold+1).count()`` probe, the
+    ``connected_components`` route-gate pattern): candidates bucket on
+    coordinate sign bits — near-identical vectors agree on every
+    stable sign, the bucket rule is trivially oracle-expressible, and
+    at <= ``large_corpus_threshold`` rows the corpus/n_buckets blocks
+    are harmless.
+
+    Large corpora: the sign buckets are a scale-killer by construction
+    (corpus/2^bits all-pairs blocks, a straggler-task quadratic at
+    10^8+ vectors), so the candidate generator switches to the
+    corpus-vs-corpus IVF-cell join (``similarity.ivf_join_pairs``):
+    centroids train driver-side on a bounded deterministic
+    hash-ordered sample (the faiss coarse-quantizer practice — same
+    boundedness contract as ``similarity.train_ivf_centroids``), every
+    vector gets a home cell + ``n_probe`` probes via the Arrow-gemm
+    assignment kernel (no shuffle, no k-times explosion), and pair
+    work is sum-over-cells |probes_c| x |homes_c| — the n_probe /
+    n_centroids cost dial, never all-pairs. Near-identical vectors
+    share a home cell at any n_probe >= 1, so near-dup recall is the
+    IVF recall curve's easy end (BENCH/BASELINE.md). Exact cosine
+    verification >= ``threshold`` on candidates is identical on both
+    routes. The skew gate (tests/test_dedup.py) plants a corpus that
+    concentrates into ONE sign bucket and asserts the IVF route keeps
+    every block far below it."""
     from ..functions.vectors import cosine, norm_bucket
 
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    probed = v.limit(large_corpus_threshold + 1).count()
+    if probed > large_corpus_threshold:
+        import numpy as np
+
+        from .similarity import ivf_join_pairs, train_ivf_centroids
+
+        sample = (
+            v.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+            .limit(train_sample)
+            .toPandas()
+        )
+        cents = train_ivf_centroids(
+            np.vstack(sample["vec"].to_numpy()), k=n_centroids, seed=seed
+        )
+        return ivf_join_pairs(
+            df, cents, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, n_probe=n_probe,
+        )
     b = v.withColumn("bucket", norm_bucket(F.col("vec"), n_buckets))
     cand = (
         b.alias("x")
@@ -402,6 +473,8 @@ def flag_boilerplate_positions(
 def cluster_keep_best(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8,
     method: str = "jaccard",
+    cc_partitions: int | None = None,
+    large_pairs_threshold: int = 100_000,
 ) -> DataFrame:
     """CLUSTER-level keeper election (VERDICT r3 #6): pairwise election
     (dedup_keep_best) breaks on transitive chains — A~B and B~C with
@@ -415,7 +488,18 @@ def cluster_keep_best(
     Scale shape: the pair set is near-dup-bounded (tiny vs the corpus),
     CC runs on pair-incident vertices only, and the quality join
     touches only clustered docs. Returns one row per cluster:
-    (cluster_id = min member id, n_members, member_ids, keeper_id)."""
+    (cluster_id = min member id, n_members, member_ids, keeper_id).
+
+    ``cc_partitions`` sizes CC's per-superstep shuffles. The default
+    (None) gates on the MEASURED pair count the way
+    ``connected_components`` gates its own fast path (VERDICT r5 #4):
+    up to ``large_pairs_threshold`` pairs stay at 4 partitions (the
+    per-superstep fixed cost floor for a near-dup-bounded graph — and
+    below CC's own 100k driver fast-path threshold the value never
+    even applies), while a heavily-templated corpus whose dup graph
+    outgrows it scales to the session parallelism instead of
+    serializing every superstep through 4 tasks. The count reads the
+    pair checkpoint's cached blocks — no extra plan evaluation."""
     from .components import connected_components
 
     if method == "lsh":
@@ -428,6 +512,12 @@ def cluster_keep_best(
     # CC's superstep loop re-evaluates its input each iteration: cut the
     # shingle-join lineage once (pair-set-sized, tiny)
     pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    if cc_partitions is None:
+        if pairs.count() > large_pairs_threshold:
+            sc = df.sparkSession.sparkContext
+            cc_partitions = max(8, sc.defaultParallelism)
+        else:
+            cc_partitions = 4
     verts = (
         pairs.select(F.col("id_a").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("v")))
@@ -435,10 +525,7 @@ def cluster_keep_best(
     )
     comp = connected_components(
         verts, pairs, vertex_col="v", src_col="id_a", dst_col="id_b",
-        # dup-pair graphs are near-dup-bounded (orders of magnitude
-        # smaller than the corpus): a handful of CC partitions keeps
-        # the per-superstep shuffle fixed cost low
-        n_partitions=4,
+        n_partitions=cc_partitions,
     )
     quality = df.select(
         F.col(id_col).alias("id"), F.length(F.col(text_col)).alias("chars")
