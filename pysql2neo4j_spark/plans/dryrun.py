@@ -32,7 +32,7 @@ from ..operators.extraction import (
     mentions_from_staged,
     triples_from_staged,
 )
-from ..operators.graph import build_edges, build_nodes, link_mentions
+from ..operators.graph import build_edges
 from ..operators.linking import blocking_keys, distinct_forms
 from ..operators.ordering import with_stable_order
 from ..schemas import MENTIONS_SCHEMA, TRIPLES_SCHEMA
@@ -104,7 +104,15 @@ def explain_pipeline(
     # --- materialization (salted broadcast linking + bounded-provenance agg)
     f2e = spark.createDataFrame([], "norm STRING, entity_id STRING")
     triples_ph = spark.createDataFrame([], TRIPLES_SCHEMA)
-    linked = link_mentions(mentions_ph, f2e, n_salts=cfg.n_salts)
-    plans["nodes"] = _fmt(build_nodes(linked))
+    # nodes build from the vocabulary rollup, as the pipeline does (r6:
+    # nodes_from_surface_stats over link_prep's checkpointed
+    # (norm, surface, n) — no second mentions scan)
+    from ..operators.graph import nodes_from_surface_stats
+    from ..operators.linking import surface_stats
+
+    per_surface = surface_stats(mentions_ph).join(F.broadcast(f2e), on="norm").select(
+        "entity_id", "surface", "norm", "n"
+    )
+    plans["nodes"] = _fmt(nodes_from_surface_stats(per_surface))
     plans["edges"] = _fmt(build_edges(triples_ph, f2e, n_salts=cfg.n_salts))
     return plans

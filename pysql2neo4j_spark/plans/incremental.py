@@ -192,7 +192,8 @@ def _publish_delta(
 
 
 def _merge_edges(
-    prior: DataFrame, delta: DataFrame, remap_changed: DataFrame, n_buckets: int
+    prior: DataFrame, delta: DataFrame, remap_changed: DataFrame, n_buckets: int,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(untouched, merged, affected_buckets): remap prior endpoints whose
     entity merged, re-aggregate ONLY prior rows that were remapped or
@@ -212,7 +213,17 @@ def _merge_edges(
     touched row occupies — its OLD src bucket (a remapped row must be
     REMOVED from where it used to live) and its NEW one — so the
     publisher can rewrite exactly those partition dirs and leave every
-    other bucket's files byte-identical."""
+    other bucket's files byte-identical.
+
+    With a ``cache_registry`` the annotated prior frame (``r``) and the
+    ``merged`` rollup are lazily persisted (VERDICT r5 #6): the three
+    outputs are consumed by THREE downstream actions (edge-state write,
+    selective publish, affected-bucket collect), each of which would
+    otherwise re-run the prior-edge scan + remap/touched joins and the
+    delta aggregation from scratch — measured as the bulk of the delta
+    finalize's fixed job cost at small scale. ``r`` is prior-edge-sized
+    (MEMORY_AND_DISK — the same order as the edge state this function's
+    caller writes anyway); ``merged`` is touched-key-sized."""
     keys = ["src_entity", "dst_entity", "pred"]
     rm = F.broadcast(remap_changed)
     r = (
@@ -228,6 +239,9 @@ def _merge_edges(
         .withColumn("dst_entity", F.coalesce("__dst_new", "dst_entity"))
         .drop("__src_new", "__dst_new")
     )
+    if cache_registry is not None:
+        delta = delta.persist()
+        cache_registry.append(delta)
     # re-alias the key columns so touched_keys gets fresh attribute ids
     # (it derives from r — the join below would otherwise be a self-join
     # on shared attributes)
@@ -241,6 +255,9 @@ def _merge_edges(
     r = r.join(touched_keys, on=keys, how="left").withColumn(
         "__touched", F.coalesce(F.col("__tk"), F.lit(False))
     ).drop("__rm", "__tk")
+    if cache_registry is not None:
+        r = r.persist()
+        cache_registry.append(r)
     untouched = r.filter(~F.col("__touched")).select(
         *keys, "n_obs", "first_ts", "provenance")
     touched = r.filter(F.col("__touched"))
@@ -257,6 +274,9 @@ def _merge_edges(
             ).alias("provenance"),
         )
     )
+    if cache_registry is not None:
+        merged = merged.persist()
+        cache_registry.append(merged)
     affected = (
         touched.select(F.col("__old_pk").alias("part_key"))
         .unionByName(merged.select(_bucket_of("src_entity", n_buckets).alias("part_key")))
@@ -357,13 +377,26 @@ def _finalize_full(spark, out_dir, cfg, stage, committed, version):
     mentions = mentions.observe(obs_m, F.count(F.lit(1)).alias("n"))
     res = materialize_graph(spark, mentions, triples, out_dir, cfg)
 
-    # persist state: vocabulary-sized frames + the published edge table
-    _surface_stats(mentions).write.mode("overwrite").parquet(
-        _vdir(out_dir, version, "surface_stats"))
-    res["form2entity"].write.mode("overwrite").parquet(
-        _vdir(out_dir, version, "form2entity"))
-    res["edges"].drop("part_key").write.mode("overwrite").parquet(
-        _vdir(out_dir, version, "edges"))
+    # persist state: vocabulary-sized frames + the published edge table.
+    # surface_stats comes from the materializer's checkpointed rollup
+    # (r6): re-deriving it here via _surface_stats(mentions) was a
+    # THIRD full-IR scan per full finalize. The three writes read
+    # checkpointed state / published parquet — independent, so their
+    # per-job fixed costs overlap via driver threads (as in the delta
+    # path); the meta flip stays after all of them.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(lambda: res["surface_stats"].write.mode("overwrite").parquet(
+                _vdir(out_dir, version, "surface_stats"))),
+            pool.submit(lambda: res["form2entity"].write.mode("overwrite").parquet(
+                _vdir(out_dir, version, "form2entity"))),
+            pool.submit(lambda: res["edges"].drop("part_key").write.mode("overwrite").parquet(
+                _vdir(out_dir, version, "edges"))),
+        ]
+        for f in futs:
+            f.result()
     _commit_state_meta(out_dir, {"version": version, "stage": stage,
                                  "context_weight": cfg.context_weight,
                                  "finalized_run_dirs": sorted(committed)})
@@ -432,17 +465,35 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
         .filter(F.col("old_entity") != F.col("new_entity"))
     )
     untouched, merged, affected = _merge_edges(
-        edges_prior, delta_edges, remap_changed, cfg.n_entity_buckets
+        edges_prior, delta_edges, remap_changed, cfg.n_entity_buckets,
+        cache_registry=caches,
     )
     edges = untouched.unionByName(merged)
 
-    # ---- commit state vN, publish, flip meta
-    surf_new.write.mode("overwrite").parquet(_vdir(out_dir, version, "surface_stats"))
-    f2e_new.write.mode("overwrite").parquet(_vdir(out_dir, version, "form2entity"))
-    edges.write.mode("overwrite").parquet(_vdir(out_dir, version, "edges"))
-    nodes_out, edges_out = _publish_delta(
-        spark, out_dir, nodes, untouched, merged, affected, cfg
-    )
+    # ---- commit state vN, publish, flip meta. The three state writes
+    # and the publish are mutually independent (their shared inputs are
+    # checkpointed or persisted above), so they run from concurrent
+    # driver threads and their per-job fixed costs overlap (VERDICT r5
+    # #6: ~15 SEQUENTIAL jobs dominated the delta at small scale; a
+    # first-touch cache race on the persisted merge frames computes in
+    # parallel and is benign). The meta flip stays strictly after ALL
+    # writes — a failure in any leaves the prior version live.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(lambda: surf_new.write.mode("overwrite").parquet(
+                _vdir(out_dir, version, "surface_stats"))),
+            pool.submit(lambda: f2e_new.write.mode("overwrite").parquet(
+                _vdir(out_dir, version, "form2entity"))),
+            pool.submit(lambda: edges.write.mode("overwrite").parquet(
+                _vdir(out_dir, version, "edges"))),
+        ]
+        nodes_out, edges_out = _publish_delta(
+            spark, out_dir, nodes, untouched, merged, affected, cfg
+        )
+        for f in futs:
+            f.result()
     _commit_state_meta(out_dir, {
         "version": version, "stage": stage, "context_weight": 0.0,
         "finalized_run_dirs": sorted(set(meta["finalized_run_dirs"]) | set(delta_dirs)),

@@ -20,7 +20,7 @@ def test_candidate_recall_connects_every_entity(spark, transcripts_df):
     the corpus must form a single connected component (checked with a
     pure-python union-find oracle over the verified edges)."""
     mentions = mentions_from_flat(extract_mentions_flat(transcripts_df))
-    forms, edges = link_candidates(mentions)
+    forms, edges, _ = link_candidates(mentions)
     norms_seen = {r.norm for r in forms.collect()}
     edge_list = [(r.norm_a, r.norm_b) for r in edges.collect()]
 
@@ -130,11 +130,11 @@ def test_context_boost_links_ambiguous_alias(spark):
 
     mentions = spark.createDataFrame(rows, schema=MENTIONS_SCHEMA)
 
-    _, edges0 = link_candidates(mentions, context_weight=0.0)
+    _, edges0, _ = link_candidates(mentions, context_weight=0.0)
     got0 = {(r.norm_a, r.norm_b) for r in edges0.select("norm_a", "norm_b").collect()}
     assert ("marla kwint", "marla quint") not in got0  # string-only: no link
 
-    _, edges1 = link_candidates(mentions, context_weight=0.4)
+    _, edges1, _ = link_candidates(mentions, context_weight=0.4)
     got1 = {(r.norm_a, r.norm_b) for r in edges1.select("norm_a", "norm_b").collect()}
     assert ("marla kwint", "marla quint") in got1  # context closes the gap
     # decoy shares a string shape with the target but no context
