@@ -2227,6 +2227,38 @@ def scalar_conditional(spark, sf_dir):
 # lead. Demote pure fixtures whose semantics another in-cap key already
 # covers at scale-safe shape (window_ntile_cume -> window_ntile_cume_part,
 # join_cross -> broadcast-bounded and trivially tiny) so the mandated
+@register(
+    "sample_stratified",
+    """SELECT doc_id, lang FROM documents
+       WHERE substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+             CASE lang WHEN 'en' THEN 'zzzz'
+                       WHEN 'es' THEN '4000'
+                       WHEN 'zh' THEN '1000'
+                       ELSE '8000' END
+       """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (functions.hashing.
+    stratified_sample_pred): per-language keep-rates — keep all 'en',
+    1/4 of 'es', 1/16 of 'zh', half of everything else — evaluated as
+    md5('<seed>:'||doc_id) four-hex buckets against per-stratum string
+    cuts, the class-rebalancing primitive a training pipeline uses to
+    downsample dominant sources. Unlike ``df.sampleBy`` (RNG-based,
+    membership changes with partitioning) the rule is a pure function
+    of (seed, key, stratum) and the oracle evaluates it identically in
+    DuckDB."""
+    from .functions.hashing import stratified_sample_pred
+
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        stratified_sample_pred(
+            F.col("doc_id"), F.col("lang"),
+            {"en": 1.0, "es": 0.25, "zh": 0.0625},
+            seed=7, default_rate=0.5,
+        )
+    ).select("doc_id", "lang")
+
+
 # text-analysis family stays driver-checked; tools/selfcheck.py (run in
 # pytest) still gates every key, capped or not.
 # The driver's correctness artifact records the FIRST 50 registry keys
@@ -2269,6 +2301,12 @@ _DEMOTED = [
     # fingerprint machinery (md5-of-normalized) is exercised by the
     # new key's identical md5 contract
     "text_token_fingerprint",  # text family has 2 other in-cap keys
+    # sample_stratified ADDED r6 past-cap: extends the dataset-split/
+    # sampling family (per-stratum deterministic rates) without
+    # displacing an in-cap key — sample_hash_split remains the family's
+    # driver-evidenced representative; the stratified rule shares its
+    # md5-bucket contract and is oracle-gated in test_selfcheck.
+    "sample_stratified",       # sample_hash_split is the in-cap representative
 ]
 for _k in _DEMOTED:
     QUERIES[_k] = QUERIES.pop(_k)

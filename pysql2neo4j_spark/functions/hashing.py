@@ -128,3 +128,59 @@ def hash_split(col: Column, cuts: dict[str, str]) -> Column:
     if expr is None:
         return F.lit(names[-1])
     return expr.otherwise(F.lit(names[-1]))
+
+
+def _rate_cut(rate: float) -> str:
+    """Exclusive upper cut string for a keep-rate in [0, 1], quantized
+    to 1/65536. 'zzzz' sorts above every hex bucket (rate 1.0 keeps
+    all); '0000' sorts at/below every bucket (rate 0 keeps none)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"sampling rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return "zzzz"
+    return format(int(rate * 65536), "04x")
+
+
+def hash_sample(col: Column, rate: float, seed: int = 0) -> Column:
+    """Deterministic Bernoulli keep-predicate: keep a row iff the first
+    four hex chars of md5('<seed>:' || key) sort below the rate cut.
+    Same engine-portability contract as ``hash_split`` (string
+    comparison, no hex->int, identical rule in ANSI SQL / DuckDB), and
+    the same reproducibility rationale: membership is a pure function
+    of (seed, key) — stable across runs, partitionings, and engines,
+    unlike ``df.sample``. Disjoint seeds give independent samples of
+    the same table. Pure codegen Columns, no shuffle."""
+    prefixed = F.concat(F.lit(f"{seed}:"), col.cast("string"))
+    return F.substring(F.md5(prefixed), 1, 4) < F.lit(_rate_cut(rate))
+
+
+def stratified_sample_pred(
+    key: Column,
+    stratum: Column,
+    rates: dict[str, float],
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> Column:
+    """Deterministic STRATIFIED sampling keep-predicate — the
+    class-rebalancing primitive a training-data pipeline needs (e.g.
+    downsample dominant languages, keep all of a rare one): each
+    stratum value gets its own keep-rate, evaluated with the
+    ``hash_sample`` rule on the row key, so per-stratum membership is
+    reproducible and strata are sampled independently of row order and
+    partitioning. Unlisted strata fall back to ``default_rate``.
+    Scale shape: one md5 + one CASE per row, whole-stage codegen, no
+    shuffle, no per-stratum pass (``df.sampleBy`` is RNG-based and
+    reshuffle-sensitive; this is not)."""
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 4
+    )
+    cut = None
+    for name, rate in rates.items():
+        c = F.lit(_rate_cut(rate))
+        cut = F.when(stratum == F.lit(name), c) if cut is None else cut.when(
+            stratum == F.lit(name), c
+        )
+    cut = F.lit(_rate_cut(default_rate)) if cut is None else cut.otherwise(
+        F.lit(_rate_cut(default_rate))
+    )
+    return bucket < cut

@@ -96,6 +96,45 @@ def test_hash_split_subpercent_granularity(spark):
     assert abs(got["train"] / n - 0xCCCD / 65536) < 0.01
 
 
+def test_stratified_sample_deterministic_rates(spark):
+    """Per-stratum keep-rates land within sampling noise, membership is
+    a pure function of (seed, key, stratum) — stable across
+    repartitionings — and a different seed draws a (near-)independent
+    sample; invalid rates raise."""
+    import pytest
+    from pysql2neo4j_spark.functions.hashing import stratified_sample_pred
+    from pyspark.sql import functions as F
+
+    n = 60_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("es"), F.lit("zh")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("lang"),
+    )
+    rates = {"en": 1.0, "es": 0.25, "zh": 0.0625}
+    pred = stratified_sample_pred(F.col("k"), F.col("lang"), rates, seed=7)
+    kept = df.filter(pred)
+    got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per = n / 3
+    assert got["en"] == per  # rate 1.0 keeps every row
+    assert abs(got["es"] / per - 0.25) < 0.02
+    assert abs(got["zh"] / per - 0.0625) < 0.01
+
+    shuffled = df.repartition(13, "k").filter(pred)
+    assert kept.exceptAll(shuffled).isEmpty() and shuffled.exceptAll(kept).isEmpty()
+
+    other = df.filter(stratified_sample_pred(F.col("k"), F.col("lang"), rates, seed=8))
+    es_a = {r.k for r in kept.filter("lang = 'es'").collect()}
+    es_b = {r.k for r in other.filter("lang = 'es'").collect()}
+    overlap = len(es_a & es_b) / max(len(es_a), 1)
+    assert abs(overlap - 0.25) < 0.05  # independent draws: P(both) ~ rate^2 / rate
+
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample_pred(F.col("k"), F.col("lang"), {"en": 1.5})
+
+
 def test_hash_split_rejects_unordered_cuts(spark):
     """ADVICE r5: out-of-order cut points would make later splits
     silently unreachable under the first-match-wins when-chain —
