@@ -141,17 +141,23 @@ def _rate_cut(rate: float) -> str:
     return format(int(rate * 65536), "04x")
 
 
+def _seeded_bucket(key: Column, seed: int) -> Column:
+    """First four hex chars of md5('<seed>:' || key) — THE shared
+    sampling bucket (``hash_sample`` and ``stratified_sample_pred``
+    evaluate the identical expression, as do their SQL oracles)."""
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 4)
+
+
 def hash_sample(col: Column, rate: float, seed: int = 0) -> Column:
-    """Deterministic Bernoulli keep-predicate: keep a row iff the first
-    four hex chars of md5('<seed>:' || key) sort below the rate cut.
-    Same engine-portability contract as ``hash_split`` (string
-    comparison, no hex->int, identical rule in ANSI SQL / DuckDB), and
-    the same reproducibility rationale: membership is a pure function
-    of (seed, key) — stable across runs, partitionings, and engines,
+    """Deterministic Bernoulli keep-predicate: keep a row iff the
+    seeded md5 bucket sorts below the rate cut. Same
+    engine-portability contract as ``hash_split`` (string comparison,
+    no hex->int, identical rule in ANSI SQL / DuckDB), and the same
+    reproducibility rationale: membership is a pure function of
+    (seed, key) — stable across runs, partitionings, and engines,
     unlike ``df.sample``. Disjoint seeds give independent samples of
     the same table. Pure codegen Columns, no shuffle."""
-    prefixed = F.concat(F.lit(f"{seed}:"), col.cast("string"))
-    return F.substring(F.md5(prefixed), 1, 4) < F.lit(_rate_cut(rate))
+    return _seeded_bucket(col, seed) < F.lit(_rate_cut(rate))
 
 
 def stratified_sample_pred(
@@ -171,9 +177,7 @@ def stratified_sample_pred(
     Scale shape: one md5 + one CASE per row, whole-stage codegen, no
     shuffle, no per-stratum pass (``df.sampleBy`` is RNG-based and
     reshuffle-sensitive; this is not)."""
-    bucket = F.substring(
-        F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 4
-    )
+    bucket = _seeded_bucket(key, seed)
     cut = None
     for name, rate in rates.items():
         c = F.lit(_rate_cut(rate))

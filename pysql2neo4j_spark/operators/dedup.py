@@ -378,6 +378,12 @@ def embedding_dup_pairs(
 
         from .similarity import ivf_join_pairs, train_ivf_centroids
 
+        # one materialization serves BOTH the centroid sample and the
+        # cell-assignment scan (the connected_components probe-then-
+        # route shape): without it a derived upstream plan — exactly
+        # what this route protects — would re-run in full for the
+        # sample's TakeOrdered AND again inside ivf_cell_assignments
+        v = v.localCheckpoint(eager=True)
         sample = (
             v.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
             .limit(train_sample)
@@ -387,7 +393,7 @@ def embedding_dup_pairs(
             np.vstack(sample["vec"].to_numpy()), k=n_centroids, seed=seed
         )
         return ivf_join_pairs(
-            df, cents, id_col=id_col, vec_col=vec_col,
+            v, cents, id_col="id", vec_col="vec",
             threshold=threshold, n_probe=n_probe,
         )
     b = v.withColumn("bucket", norm_bucket(F.col("vec"), n_buckets))

@@ -32,8 +32,8 @@ from ..operators.extraction import (
     mentions_from_staged,
     triples_from_staged,
 )
-from ..operators.graph import build_edges
-from ..operators.linking import blocking_keys, distinct_forms
+from ..operators.graph import build_edges, link_mentions
+from ..operators.linking import blocking_keys
 from ..operators.ordering import with_stable_order
 from ..schemas import MENTIONS_SCHEMA, TRIPLES_SCHEMA
 from .checkpoint import with_part_key
@@ -61,9 +61,19 @@ def explain_pipeline(
     plans["mentions_ir"] = _fmt(mentions_from_staged(staged))
     plans["triples_ir"] = _fmt(triples_from_staged(staged))
 
-    # --- linking prep (blocking expressions over the forms frame)
+    # --- linking prep (blocking expressions over the forms frame; the
+    # forms plan mirrors the pipeline's r6 shape — the (norm, surface)
+    # rollup is the one fact-sized aggregate, forms is its per-norm
+    # marginal)
+    from ..operators.linking import surface_stats
+
     mentions_ph = spark.createDataFrame([], MENTIONS_SCHEMA)
-    forms = distinct_forms(mentions_ph).withColumn("sh", char_shingles(F.col("norm")))
+    forms = (
+        surface_stats(mentions_ph)
+        .groupBy("norm")
+        .agg(F.sum("n").cast("long").alias("n_mentions"))
+        .withColumn("sh", char_shingles(F.col("norm")))
+    )
     plans["blocking_keys"] = _fmt(blocking_keys(forms, cfg.bands, cfg.rows))
 
     # --- candidate generation + verification scoring (placeholder keys)
@@ -104,11 +114,14 @@ def explain_pipeline(
     # --- materialization (salted broadcast linking + bounded-provenance agg)
     f2e = spark.createDataFrame([], "norm STRING, entity_id STRING")
     triples_ph = spark.createDataFrame([], TRIPLES_SCHEMA)
+    # the salted mention->entity broadcast join is still a live
+    # production shape (it feeds the links IR), so it keeps its own
+    # audited plan entry even though nodes no longer consume it
+    plans["links_attach"] = _fmt(link_mentions(mentions_ph, f2e, n_salts=cfg.n_salts))
     # nodes build from the vocabulary rollup, as the pipeline does (r6:
     # nodes_from_surface_stats over link_prep's checkpointed
     # (norm, surface, n) — no second mentions scan)
     from ..operators.graph import nodes_from_surface_stats
-    from ..operators.linking import surface_stats
 
     per_surface = surface_stats(mentions_ph).join(F.broadcast(f2e), on="norm").select(
         "entity_id", "surface", "norm", "n"

@@ -64,7 +64,7 @@ from pyspark.sql import functions as F
 
 from ..operators.components import canonical_entities
 from ..operators.graph import PROVENANCE_CAP, build_edges, nodes_from_surface_stats
-from ..operators.linking import delta_candidate_pairs, score_pairs
+from ..operators.linking import delta_candidate_pairs, score_pairs, surface_stats
 from ..schemas import EDGES_SCHEMA, NODES_SCHEMA
 from ..sources.transcripts import write_bucketed
 from .checkpoint import CheckpointManager
@@ -98,10 +98,6 @@ def _commit_state_meta(out_dir: str, meta: dict) -> None:
 
 def _vdir(out_dir: str, version: int, name: str) -> str:
     return os.path.join(out_dir, STATE_DIR, f"v{version:04d}", name)
-
-
-def _surface_stats(mentions: DataFrame) -> DataFrame:
-    return mentions.groupBy("norm", "surface").agg(F.count("*").alias("n"))
 
 
 def _publish(spark: SparkSession, out_dir: str, nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig):
@@ -423,7 +419,7 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
 
     # ---- 1. merge surface stats (vocabulary-sized state)
     surf_new = (
-        surf_prior.unionByName(_surface_stats(d_mentions))
+        surf_prior.unionByName(surface_stats(d_mentions))
         .groupBy("norm", "surface")
         .agg(F.sum("n").cast("long").alias("n"))
         .localCheckpoint(eager=True)  # cut lineage: reused by nodes + forms
@@ -470,14 +466,28 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
     )
     edges = untouched.unionByName(merged)
 
-    # ---- commit state vN, publish, flip meta. The three state writes
-    # and the publish are mutually independent (their shared inputs are
+    # Materialize the merge ONCE, sequentially, before any write: the
+    # eager checkpoint of the (<= n_buckets)-row affected frame forces
+    # the persisted delta/r/merged caches to fill in a single
+    # deterministic pass — so the delta-triples Observation fires
+    # exactly once over the full plan (a concurrent first touch from
+    # two writer threads would split partitions between queries and
+    # under-report ir_triple_rows_read), and the threaded writes below
+    # read caches only.
+    affected = affected.localCheckpoint(eager=True)
+
+    # ---- commit state vN, then publish, then flip meta. The three
+    # state writes are mutually independent (their shared inputs are
     # checkpointed or persisted above), so they run from concurrent
     # driver threads and their per-job fixed costs overlap (VERDICT r5
-    # #6: ~15 SEQUENTIAL jobs dominated the delta at small scale; a
-    # first-touch cache race on the persisted merge frames computes in
-    # parallel and is benign). The meta flip stays strictly after ALL
-    # writes — a failure in any leaves the prior version live.
+    # #6: ~15 SEQUENTIAL jobs dominated the delta at small scale). The
+    # PUBLISH stays strictly after the state writes complete — it
+    # mutates the LIVE nodes/edges dirs, and overlapping it with the
+    # state writes would let a state-write failure surface only after
+    # the published tables were already rewritten (vN published rows
+    # served against vN-1 state until a retry — a failure-atomicity
+    # hole the sequential r5 order never had). The meta flip stays
+    # after everything.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=3) as pool:
@@ -489,11 +499,11 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
             pool.submit(lambda: edges.write.mode("overwrite").parquet(
                 _vdir(out_dir, version, "edges"))),
         ]
-        nodes_out, edges_out = _publish_delta(
-            spark, out_dir, nodes, untouched, merged, affected, cfg
-        )
         for f in futs:
             f.result()
+    nodes_out, edges_out = _publish_delta(
+        spark, out_dir, nodes, untouched, merged, affected, cfg
+    )
     _commit_state_meta(out_dir, {
         "version": version, "stage": stage, "context_weight": 0.0,
         "finalized_run_dirs": sorted(set(meta["finalized_run_dirs"]) | set(delta_dirs)),

@@ -134,6 +134,20 @@ def test_stratified_sample_deterministic_rates(spark):
     with pytest.raises(ValueError, match="rate"):
         stratified_sample_pred(F.col("k"), F.col("lang"), {"en": 1.5})
 
+    # hash_sample (the single-rate form) shares the seeded bucket: a
+    # flat 25% draw equals the stratified predicate with one uniform
+    # rate, and its rate lands within sampling noise
+    from pysql2neo4j_spark.functions.hashing import hash_sample
+
+    flat = df.filter(hash_sample(F.col("k"), 0.25, seed=7))
+    uni = df.filter(
+        stratified_sample_pred(F.col("k"), F.col("lang"), {}, seed=7, default_rate=0.25)
+    )
+    assert flat.exceptAll(uni).isEmpty() and uni.exceptAll(flat).isEmpty()
+    assert abs(flat.count() / n - 0.25) < 0.01
+    with pytest.raises(ValueError, match="rate"):
+        hash_sample(F.col("k"), -0.1)
+
 
 def test_hash_split_rejects_unordered_cuts(spark):
     """ADVICE r5: out-of-order cut points would make later splits
