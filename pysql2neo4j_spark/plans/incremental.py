@@ -149,8 +149,19 @@ def _publish_delta(
             "seam; the iceberg path needs overwritePartitions on the edge "
             "table (no iceberg-spark-runtime jar in this environment)"
         )
-    write_bucketed(nodes, os.path.join(out_dir, "nodes"), "entity_id",
-                   n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
+    # nodes (vocabulary-sized, its own directory) publish concurrently
+    # with the edge-bucket rewrite below: both are post-state publishes
+    # of INDEPENDENT tables, so the overlap recovers the thread-pool
+    # win without re-opening the state-before-publish atomicity hole
+    # the r6 self-review closed (the caller joins this future before
+    # the meta flip).
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    nodes_fut = pool.submit(
+        write_bucketed, nodes, os.path.join(out_dir, "nodes"), "entity_id",
+        n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog,
+    )
 
     edges_path = os.path.join(out_dir, "edges")
     n = cfg.n_entity_buckets
@@ -179,6 +190,8 @@ def _publish_delta(
     for pk in set(affected_pks) - written_pks:
         _shutil.rmtree(os.path.join(edges_path, f"part_key={pk}"), ignore_errors=True)
 
+    nodes_fut.result()
+    pool.shutdown()
     part_f = T.StructField("part_key", T.IntegerType(), True)
     nodes_out = spark.read.schema(T.StructType(NODES_SCHEMA.fields + [part_f])).parquet(
         os.path.join(out_dir, "nodes"))
