@@ -75,3 +75,45 @@ def test_hex_fingerprint_roundtrip(spark, values):
     ).collect()
     for r in rows:
         assert r.back == r.v, (r.v, r.back)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=40),
+    rate=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hash_split_and_sample_match_md5_ground_truth(spark, keys, rate):
+    """The split/sample rules' engine-portability claim, pinned to the
+    md5 ground truth directly (hashlib — the definition both Spark and
+    DuckDB implement): membership from the Spark Columns equals a
+    pure-python evaluation of the same rule for arbitrary keys and
+    rates, including the rate=0/1 edges."""
+    import hashlib
+
+    from pysql2neo4j_spark.functions.hashing import _rate_cut, hash_sample, hash_split
+
+    cuts = {"train": "cccd", "val": "e666", "test": "zzzz"}
+
+    def py_bucket(prefix, k):
+        return hashlib.md5(f"{prefix}{k}".encode()).hexdigest()[:4]
+
+    def py_split(k):
+        b = py_bucket("", k)
+        for name in ("train", "val"):
+            if b < cuts[name]:
+                return name
+        return "test"
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], "k LONG")
+    got = {
+        r.k: (r.s, r.keep)
+        for r in df.select(
+            "k",
+            hash_split(F.col("k"), cuts).alias("s"),
+            hash_sample(F.col("k"), rate, seed=3).alias("keep"),
+        ).collect()
+    }
+    for k in set(keys):
+        assert got[k][0] == py_split(k)
+        assert got[k][1] == (py_bucket("3:", k) < _rate_cut(rate))
