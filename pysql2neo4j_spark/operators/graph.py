@@ -103,29 +103,31 @@ def build_edges(
     bench, see BENCH/BASELINE.md):
       * ONE fact-sized shuffle (VERDICT r3 #8 write-stage pass): the
         fact aggregates once per (edge, conv_id) — n per conv +
-        min(ts) per conv, map-side combined — and BOTH outputs derive
-        from that conv-rollup: n_obs/first_ts re-aggregate it on the
-        edge keys (conv-rollup-sized shuffle, far below fact-sized),
-        provenance ranks it. The r1-r3 shape ran two independent
-        fact-sized shuffles (base groupBy + per-conv distinct).
-        ReuseExchange CANNOT fire across the two branches — each
-        prunes different columns, so the subplans are not identical
-        (verified empirically: 0 ReusedExchange nodes without a
-        persist) — so when the caller supplies a cache_registry the
-        conv-rollup (conv-rollup-sized, far below fact-sized) is
-        persisted and both branches read the cache; without a
-        registry (entry-query / dry-run paths) the fallback recomputes
-        the rollup per branch and pays the fact-sized shuffle twice.
-      * provenance = the PROVENANCE_CAP lexicographically-smallest
-        distinct conv_ids: a SALTED two-level rank over the rollup —
-        a single window over (edge) would sort ALL of a hot edge's
-        distinct convs in one task (the hot entity is ~30% of
-        mentions: millions of rows in one sort at 10^12 turns, and a
-        non-parallelizable critical path). Level 1 ranks within
-        (edge, pmod(xxhash64(conv), n_salts)) — the hot edge splits
-        n_salts ways — keeping each salt's CAP smallest; the global
-        CAP smallest are necessarily among them (exact). Level 2 ranks
-        the <= n_salts*CAP survivors per edge.
+        min(ts) per conv, map-side combined. Everything downstream is
+        conv-rollup-sized.
+      * ONE pass over the rollup (r6): the salted level-1 window ranks
+        each (edge, pmod(xxhash64(conv), n_salts)) cell by conv_id —
+        the hot edge (~30% of mentions at 10^12 turns) splits n_salts
+        ways, so no single task ever sorts a whole hot edge — and a
+        single bounded aggregate on the edge keys then folds
+        EVERYTHING: n_obs = sum over ALL rollup rows (unranked rows
+        still contribute), first_ts = min, provenance =
+        slice(array_sort(collect_list(when(rank <= CAP, conv))), CAP).
+        The when() nulls every conv past its salt-cell CAP before
+        collection, so the aggregate buffer is <= CAP * n_salts convs
+        per edge — bounded — and the global CAP smallest are
+        necessarily among the per-salt CAP smallest (exact; the same
+        argument the incremental merge uses). Conv_ids are distinct by
+        the rollup's grain, so no array_distinct is needed.
+        The r4-r5 shape computed base and provenance as two BRANCHES
+        over a persisted rollup (ReuseExchange cannot unify them —
+        column pruning makes the subplans differ) plus a second
+        rank window and a final join; the single-pass form deletes
+        the persist materialization, one exchange, one sort, and the
+        join — measured result-identical on the 16M-turn IR with the
+        min-time estimator 26% faster at 16 cores under host noise
+        (BENCH/BASELINE.md). ``cache_registry`` is retained for caller
+        compatibility; nothing is registered anymore.
     """
     subj_map = form2entity.select(
         F.col("norm").alias("subj_norm"), F.col("entity_id").alias("src_entity")
@@ -140,41 +142,23 @@ def build_edges(
     conv_rollup = t.groupBy(*keys, "conv_id").agg(
         F.count("*").alias("__n"), F.min("ts").alias("__min_ts")
     )
-    # persist, not ReuseExchange: column pruning strips __n/__min_ts
-    # from the provenance branch's partial aggregate, so the two
-    # exchanges are NOT identical subplans and Catalyst will not reuse
-    # them — without the persist each branch re-pays the fact-sized
-    # shuffle. The cached frame is conv-rollup-sized (distinct
-    # (edge, conv) pairs), orders of magnitude below the fact table;
-    # lazy persist adds no definition-time cost (see build_nodes).
-    # ONLY persisted when the caller passes a registry to unpersist
-    # through — an unowned cache entry would pin executor storage for
-    # the life of the session (dryrun / ad-hoc plan-inspection callers
-    # pass nothing and get the plain recomputed plan).
-    if cache_registry is not None:
-        conv_rollup = conv_rollup.persist()
-        cache_registry.append(conv_rollup)
-
-    base = conv_rollup.groupBy(*keys).agg(
-        F.sum("__n").cast("long").alias("n_obs"), F.min("__min_ts").alias("first_ts")
-    )
-
-    per_conv = conv_rollup.select(*keys, "conv_id")
     w_local = Window.partitionBy(*keys, "__psalt").orderBy("conv_id")
-    w_rank = Window.partitionBy(*keys).orderBy("conv_id")
-    prov = (
-        per_conv.withColumn(
+    annotated = (
+        conv_rollup.withColumn(
             "__psalt", F.pmod(F.xxhash64("conv_id"), F.lit(n_salts)).cast("int")
         )
         .withColumn("__rl", F.row_number().over(w_local))
-        .filter(F.col("__rl") <= PROVENANCE_CAP)
-        .drop("__psalt", "__rl")
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= PROVENANCE_CAP)
-        .groupBy(*keys)
-        .agg(F.sort_array(F.collect_list("conv_id")).alias("provenance"))
     )
-    # both sides aggregate on the same keys (co-partitioned join)
-    return base.join(prov, on=keys, how="left").select(
-        *keys, "n_obs", "first_ts", "provenance"
+    return annotated.groupBy(*keys).agg(
+        F.sum("__n").cast("long").alias("n_obs"),
+        F.min("__min_ts").alias("first_ts"),
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__rl") <= PROVENANCE_CAP, F.col("conv_id"))
+                )
+            ),
+            1,
+            PROVENANCE_CAP,
+        ).alias("provenance"),
     )
