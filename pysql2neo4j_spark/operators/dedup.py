@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import band_keys, hamming64, minhash_signature, simhash64
+from ..functions.hashing import hamming64, simhash64
 from ..functions.text import (
     ngram_shingles,
     norm_text,
@@ -141,7 +141,15 @@ def ngram_jaccard_pairs(
     SQL-expressible (oracle-checked); quadratic only within a shingle's
     posting list, so rare-shingle corpora scale fine while hot shingles
     need the LSH variant below."""
-    sh = _with_shingles(df, id_col, text_col, n)
+    # ONE shingle materialization (r7): the live plan fed THREE
+    # consumers — sizes, and both sides of the inverted-index self-join
+    # — so the interpreted ngram_shingles transform ran up to 3x per
+    # row (ReuseExchange only unifies the post-shuffle join sides, not
+    # the sizes branch). The checkpoint computes shingles once and the
+    # three consumers read stored blocks (MEMORY_AND_DISK, same
+    # boundedness as the minhash path's existing shingle checkpoint).
+    # Measured 2.32 -> 1.47 s on the sf0.1 key, pairs identical.
+    sh = _with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     ex = sh.select("id", F.explode("sh").alias("s"))
     pairs = (
@@ -218,10 +226,37 @@ def minhash_lsh_pairs(
     sh = _with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True).filter(
         F.size("sh") > 0
     )
-    sig = sh.select(
-        "id", band_keys(minhash_signature(F.col("sh"), k=bands * rows), bands, rows).alias("bk")
+    # signature compute in the CODEGEN shape (r7): the declarative form
+    # — band_keys(minhash_signature(sh)) — nests lambdas inside
+    # transform(sequence(0, k-1), ...), and Catalyst evaluates every
+    # higher-order lambda INTERPRETED, one closure call per (shingle,
+    # hash-index) pair: k x |shingles| interpreted xxhash64 evals per
+    # doc, measured as 33 s of the 35 s sf0.1 key (the whole rest of
+    # the query is ~2 s). Exploding the checkpointed shingle array and
+    # computing the k hashes as ordinary xxhash64 projections puts the
+    # same arithmetic back into whole-stage codegen, and the k min
+    # aggregates are map-side combined — the shuffle carries one
+    # partial row per doc per partition, not the shingle stream.
+    # Hash-identical to minhash_signature/band_keys (same xxhash64(s,
+    # INT i) family, same band concat) — asserted bucket-for-bucket in
+    # tests/test_dedup.py::test_minhash_codegen_buckets_match_declarative.
+    k = bands * rows
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    sig = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"__h{i}") for i in range(k)]
     )
-    buckets = sig.select("id", F.explode("bk").alias("bucket")).localCheckpoint(eager=True)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b),
+            F.concat_ws(
+                ",", *[F.col(f"__h{b * rows + r}").cast("string") for r in range(rows)]
+            ),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket")).localCheckpoint(
+        eager=True
+    )
     # over-cap buckets via hash-aggregate + broadcast ANTI join, not a
     # count window: the window shape shuffles AND sorts the whole
     # corpus-sized bucket frame — twice, once per self-join side
@@ -392,10 +427,20 @@ def embedding_dup_pairs(
         cents = train_ivf_centroids(
             np.vstack(sample["vec"].to_numpy()), k=n_centroids, seed=seed
         )
-        return ivf_join_pairs(
+        out = ivf_join_pairs(
             v, cents, id_col="id", vec_col="vec",
             threshold=threshold, n_probe=n_probe,
         )
+        # ADVICE r6: ivf_join_pairs EAGERLY checkpoints its cell
+        # assignments before returning, so v's corpus-scale blocks have
+        # no further reader — release them now instead of pinning two
+        # corpus-scale block sets for the session lifetime on exactly
+        # the 10^8+-vector route. (The assignment checkpoint itself IS
+        # the data the returned plan reads; it must stay.)
+        from .components import _release_local_checkpoint
+
+        _release_local_checkpoint(v)
+        return out
     b = v.withColumn("bucket", norm_bucket(F.col("vec"), n_buckets))
     cand = (
         b.alias("x")

@@ -213,77 +213,91 @@ def ivf_topk(
     id-correlated corpora, still untrained)."""
     spark = corpus.sparkSession
     if centroids is not None:
-        cent = spark.createDataFrame(
-            [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
-            "centroid_id INT, centv ARRAY<DOUBLE>",
-        )
-    else:
-        cent = (
-            corpus.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), id_col)
-            .limit(n_centroids)
-            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv"))
-        )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    if centroids is not None:
-        # corpus -> nearest-centroid assignment as a PURE MAP: argmax
-        # over a centroid-array literal stays in whole-stage codegen —
-        # no 16x crossJoin row explosion and, critically, no shuffle
-        # (the window variant below repartitions corpus x n_centroids
-        # rows by neighbor_id just to pick rn=1). array_position takes
-        # the FIRST max = lowest centroid_id, the same tie-break as the
-        # window's (desc sim, centroid_id) and the DuckDB oracle's.
-        # corpus -> nearest-centroid assignment as an Arrow-batched
-        # numpy matmul: one BLAS gemm per batch, NO shuffle and no 16x
-        # row explosion. Two slower shapes measured at sf0.1 before
-        # landing here: crossJoin + window rank=1 (shuffles corpus x k
-        # rows), and a JVM higher-order argmax (higher-order functions
-        # run interpreted, and a second reference to the sims array is
-        # re-inlined by CollapseProject — 1.5x the whole query).
-        # np.argmax takes the FIRST max = lowest centroid_id, the same
-        # tie-break as the oracle's (desc rounded sim, centroid_id);
-        # normalize-then-matmul + round(6) is the exact kernel the
-        # DuckDB-oracle-matched brute_force_topk_pandas already uses.
-        from pyspark.sql import types as T
+        # FUSED single-pass IVF (r7): probe selection runs DRIVER-SIDE
+        # in numpy (queries are broadcast-sized by contract — the prior
+        # shape already collected them into a broadcast relation, via a
+        # crossJoin + window subplan), and cell assignment + scoring
+        # fuse into ONE Arrow kernel per corpus batch: assign the batch
+        # (argmax over the centroid gemm — identical to the old
+        # assignment kernel), mask each query's scores to the rows
+        # whose home cell is among that query's n_probe cells, and emit
+        # an exact per-batch partial top-k (lexsort on (-score, id) —
+        # the oracle's tiebreak). The old plan's probe crossJoin +
+        # window, broadcast-hash join, and INTERPRETED JVM zip_with
+        # cosine (the scored join) all disappear; the only post-kernel
+        # work is the k-bounded global window. Scoring backend is the
+        # same normalize/gemm/round(6) kernel ann_topk_pandas proves
+        # oracle-equal on this data; probe ranking reproduces the
+        # (desc rounded sim, centroid_id) window via stable argsort.
+        import numpy as np
+
+        q_pdf = queries.select(id_col, vec_col).toPandas()
+        qids = q_pdf[id_col].to_numpy()
+        Q = np.vstack(q_pdf[vec_col].to_numpy()).astype("float64")
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        Cm = np.asarray([list(map(float, cc)) for cc in centroids], dtype="float64")
+        Cn_ = Cm / np.maximum(np.linalg.norm(Cm, axis=1, keepdims=True), 1e-12)
+        qsims = np.round(Qn @ Cn_.T, 6)
+        m = min(n_probe, len(Cm))
+        probe_cells = np.argsort(-qsims, axis=1, kind="stable")[:, :m]  # ties -> low id
+        probed = np.zeros((len(Cm), len(qids)), dtype=bool)
+        for qi in range(len(qids)):
+            probed[probe_cells[qi], qi] = True
 
         out_type = T.StructType(
             [
+                T.StructField("query_id", queries.schema[id_col].dataType),
                 T.StructField("neighbor_id", corpus.schema[id_col].dataType),
-                T.StructField("cv", corpus.schema[vec_col].dataType),
-                T.StructField("centroid_id", T.IntegerType()),
+                T.StructField("score", T.DoubleType()),
             ]
         )
-        cents = [list(map(float, cc)) for cc in centroids]
+        kk = k
 
-        def assign_batches(batches):
-            import numpy as np
-            import pandas as pd
-
-            C = np.asarray(cents, dtype="float64")
-            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        def score_probed(batches):
             for pdf in batches:
                 if not len(pdf):
                     continue
                 X = np.vstack(pdf.iloc[:, 1].to_numpy()).astype("float64")
                 Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-                sims = np.round(Xn @ Cn.T, 6)
-                yield pd.DataFrame(
-                    {
-                        "neighbor_id": pdf.iloc[:, 0].values,
-                        "cv": pdf.iloc[:, 1].values,
-                        "centroid_id": np.argmax(sims, axis=1).astype("int32"),
-                    }
-                )
+                assign = np.argmax(np.round(Xn @ Cn_.T, 6), axis=1)
+                S = np.round(Xn @ Qn.T, 6)
+                mask = probed[assign]  # (batch, n_queries)
+                ids = pdf.iloc[:, 0].to_numpy()
+                rows = []
+                for qi in range(len(qids)):
+                    idx = np.nonzero(mask[:, qi])[0]
+                    if not len(idx):
+                        continue
+                    # exact per-batch top-k under the global tiebreak
+                    order = idx[np.lexsort((ids[idx], -S[idx, qi]))][:kk]
+                    rows.extend(
+                        (qids[qi].item(), ids[ci].item(), float(S[ci, qi]))
+                        for ci in order
+                    )
+                if rows:
+                    yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
 
-        assigned = c.mapInPandas(assign_batches, schema=out_type)
-    else:
-        w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("sim"), "centroid_id")
-        assigned = (
-            c.crossJoin(F.broadcast(cent))
-            .select("neighbor_id", "cv", "centroid_id", F.round(cosine(F.col("cv"), F.col("centv")), 6).alias("sim"))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("neighbor_id", "cv", "centroid_id")
+        partial = corpus.select(id_col, vec_col).mapInPandas(score_probed, schema=out_type)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+        return (
+            partial.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "score", "rnk")
         )
+    cent = (
+        corpus.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    w_assign = Window.partitionBy("neighbor_id").orderBy(F.desc("sim"), "centroid_id")
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .select("neighbor_id", "cv", "centroid_id", F.round(cosine(F.col("cv"), F.col("centv")), 6).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cv", "centroid_id")
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), "centroid_id")
     probes = (

@@ -162,36 +162,44 @@ def _publish_delta(
         write_bucketed, nodes, os.path.join(out_dir, "nodes"), "entity_id",
         n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog,
     )
-
-    edges_path = os.path.join(out_dir, "edges")
-    n = cfg.n_entity_buckets
-    affected_pks = sorted(r.part_key for r in affected.collect())  # <= n_buckets
-    aff = F.broadcast(spark.createDataFrame([(int(p),) for p in affected_pks] or [(None,)],
-                                            "part_key INT"))
-    to_write = (
-        merged.withColumn("part_key", _bucket_of("src_entity", n))
-        .unionByName(untouched.withColumn("part_key", _bucket_of("src_entity", n)))
-        .join(aff, on="part_key", how="left_semi")
-        .select(*[f.name for f in EDGES_SCHEMA.fields], "part_key")
-    )
-    to_write = to_write.repartition(max(len(affected_pks), 1), "part_key")
-    written_pks = set()
-    if affected_pks:
-        to_write = to_write.localCheckpoint(eager=True)
-        written_pks = {r.part_key for r in to_write.select("part_key").distinct().collect()}
-        (
-            to_write.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("part_key")
-            .parquet(edges_path)
+    # ADVICE r6: the pool must not outlive this function on the edge
+    # rewrite's error paths — a leaked non-daemon nodes-write thread
+    # would race a retrying caller's second nodes write against the
+    # same live dir. The finally waits the in-flight nodes write out
+    # (no cancel: parquet overwrite is not safely interruptible) and
+    # only then lets the edge-side exception propagate; on the success
+    # path nodes_fut.result() still surfaces a nodes-write failure.
+    try:
+        edges_path = os.path.join(out_dir, "edges")
+        n = cfg.n_entity_buckets
+        affected_pks = sorted(r.part_key for r in affected.collect())  # <= n_buckets
+        aff = F.broadcast(spark.createDataFrame([(int(p),) for p in affected_pks] or [(None,)],
+                                                "part_key INT"))
+        to_write = (
+            merged.withColumn("part_key", _bucket_of("src_entity", n))
+            .unionByName(untouched.withColumn("part_key", _bucket_of("src_entity", n)))
+            .join(aff, on="part_key", how="left_semi")
+            .select(*[f.name for f in EDGES_SCHEMA.fields], "part_key")
         )
-    # an affected bucket whose every row MOVED elsewhere has no rows in
-    # to_write — dynamic overwrite leaves its old dir; drop it explicitly
-    for pk in set(affected_pks) - written_pks:
-        _shutil.rmtree(os.path.join(edges_path, f"part_key={pk}"), ignore_errors=True)
+        to_write = to_write.repartition(max(len(affected_pks), 1), "part_key")
+        written_pks = set()
+        if affected_pks:
+            to_write = to_write.localCheckpoint(eager=True)
+            written_pks = {r.part_key for r in to_write.select("part_key").distinct().collect()}
+            (
+                to_write.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part_key")
+                .parquet(edges_path)
+            )
+        # an affected bucket whose every row MOVED elsewhere has no rows in
+        # to_write — dynamic overwrite leaves its old dir; drop it explicitly
+        for pk in set(affected_pks) - written_pks:
+            _shutil.rmtree(os.path.join(edges_path, f"part_key={pk}"), ignore_errors=True)
 
-    nodes_fut.result()
-    pool.shutdown()
+        nodes_fut.result()
+    finally:
+        pool.shutdown(wait=True)
     part_f = T.StructField("part_key", T.IntegerType(), True)
     nodes_out = spark.read.schema(T.StructType(NODES_SCHEMA.fields + [part_f])).parquet(
         os.path.join(out_dir, "nodes"))

@@ -481,3 +481,93 @@ def test_pii_redact_registry_true_positives(spark):
     orig = out.filter(F.col("doc_id") < 200000)
     assert orig.filter((F.col("n_email") != 0) | (F.col("n_phone") != 0) | (F.col("n_ssn") != 0)).count() == 0
     out.unpersist()
+
+
+def test_minhash_codegen_buckets_match_declarative(docs):
+    """r7 optimization gate: minhash_lsh_pairs computes its band
+    buckets in the explode + codegen-hash + min-aggregate shape (the
+    declarative band_keys(minhash_signature(...)) nests lambdas that
+    Catalyst evaluates interpreted — measured 33 s of the 35 s sf0.1
+    key). The two shapes must stay hash-identical bucket-for-bucket,
+    or the candidate set (and with it the oracle-checked pair set's
+    recall guarantee) silently drifts."""
+    from pysql2neo4j_spark.functions.hashing import band_keys, minhash_signature
+    from pysql2neo4j_spark.operators.dedup import _with_shingles
+
+    bands, rows = 12, 2
+    k = bands * rows
+    sh = _with_shingles(docs, "doc_id", "text", 3).localCheckpoint(eager=True).filter(
+        F.size("sh") > 0
+    )
+    declarative = sorted(
+        (r.id, r.bucket)
+        for r in sh.select(
+            "id", band_keys(minhash_signature(F.col("sh"), k=k), bands, rows).alias("bk")
+        ).select("id", F.explode("bk").alias("bucket")).collect()
+    )
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    sig = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"__h{i}") for i in range(k)]
+    )
+    band_cols = [
+        F.xxhash64(
+            F.lit(b),
+            F.concat_ws(",", *[F.col(f"__h{b * rows + r}").cast("string") for r in range(rows)]),
+        )
+        for b in range(bands)
+    ]
+    codegen = sorted(
+        (r.id, r.bucket)
+        for r in sig.select("id", F.explode(F.array(*band_cols)).alias("bucket")).collect()
+    )
+    assert codegen == declarative and len(codegen) == bands * sh.count()
+
+
+def test_oracle_scale_buckets_under_caps(spark):
+    """ADVICE r6: the simhash chunk cap (and the LSH band cap) change
+    results only when a bucket exceeds max_bucket, and the shared
+    exact-Jaccard oracles do not model the caps. Guard the operating
+    regime at the driver's correctness scale (sf0.01): every simhash
+    chunk bucket and every minhash band bucket must stay far below the
+    10k default — if a future fixture regenerates hotter buckets this
+    fails BEFORE the driver sees an engine-vs-oracle divergence."""
+    from pysql2neo4j_spark.functions.hashing import simhash64
+    from pysql2neo4j_spark.functions.text import norm_text, tokens
+    from pysql2neo4j_spark.operators.dedup import minhash_lsh_pairs  # noqa: F401 (cap under test)
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    chunks = d.select(
+        simhash64(tokens(norm_text(F.col("text")))).alias("sim")
+    ).select(
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"c{i}:"),
+                    F.shiftrightunsigned(F.col("sim"), i * 8).bitwiseAND(F.lit(0xFF)).cast("string"),
+                )
+                for i in range(8)
+            ])
+        ).alias("chunk")
+    )
+    max_chunk = chunks.groupBy("chunk").count().agg(F.max("count")).first()[0]
+    assert max_chunk <= 10_000, f"simhash chunk bucket {max_chunk} exceeds the cap regime"
+
+    from pysql2neo4j_spark.operators.dedup import _with_shingles
+
+    sh = _with_shingles(d, "doc_id", "text", 3).localCheckpoint(eager=True)
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    sig = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"__h{i}") for i in range(24)]
+    )
+    band_cols = [
+        F.xxhash64(
+            F.lit(b),
+            F.concat_ws(",", *[F.col(f"__h{b * 2 + r}").cast("string") for r in range(2)]),
+        )
+        for b in range(12)
+    ]
+    max_band = (
+        sig.select(F.explode(F.array(*band_cols)).alias("bucket"))
+        .groupBy("bucket").count().agg(F.max("count")).first()[0]
+    )
+    assert max_band <= 10_000, f"minhash band bucket {max_band} exceeds the cap regime"
