@@ -484,11 +484,20 @@ def duplicated_ngram_spans(
             positional_ngram_spans(F.col("l"), n)
         ).alias("span"),
     )
+    # two-level aggregate instead of countDistinct-next-to-count (r7):
+    # mixing a DISTINCT aggregate with a plain one makes Catalyst plan
+    # an Expand that DOUBLES every exploded span row into the shuffle
+    # (one copy per grouping id). Pre-aggregating on (span, doc_id)
+    # keeps each span row single and map-side combined; n_docs is then
+    # a plain count and n_total a sum — result-identical (asserted
+    # equal at sf0.1), and at 10^12-token scale the span shuffle is
+    # this operator's whole cost.
+    per_doc = g.groupBy("span", "doc_id").agg(F.count("*").alias("__n"))
     return (
-        g.groupBy("span")
+        per_doc.groupBy("span")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count("*").alias("n_total"),
+            F.count("*").alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_total"),
         )
         .filter(F.col("n_total") >= min_total)
     )

@@ -405,21 +405,80 @@ def ivf_join_pairs(
     homes = assigned.filter(F.col("cell_rank") == 1).select(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"), "centroid_id"
     )
-    # pair scoring is Arrow-batched (functions.vectors.cosine_pandas):
-    # the JVM zip_with/aggregate cosine runs INTERPRETED per element —
-    # measured ~20 s for 500k 64-dim candidate pairs at sf0.1, vs <1 s
-    # for the vectorized numpy kernel. Candidates are cell-bounded, so
-    # the Python crossing carries only the candidate stream.
-    from ..functions.vectors import cosine_pandas
+    # pair scoring crosses to Python Arrow-batched — the JVM
+    # zip_with/aggregate cosine runs INTERPRETED per element (measured
+    # ~20 s for 500k 64-dim pairs at sf0.1 vs <1 s vectorized).
+    # r7: mapInArrow instead of a pandas_udf — the pandas path
+    # materializes every vector cell as a per-row numpy object before
+    # the kernel can vstack them, which dominated the stage (~1.9 s for
+    # the 500k-pair stream); reading the ListArray's flat value buffer
+    # directly reshapes the whole batch zero-copy. The kernel emits the
+    # RAW cosine only for rows >= threshold - 1e-6 (round(6) moves a
+    # value by <= 5e-7, so this is a strict superset of the final
+    # predicate); the authoritative round+threshold+distinct stays in
+    # SQL, identical to the prior plan — same einsum formula, same
+    # F.round, same pair set.
+    import numpy as np
+    import pyarrow as pa
 
-    cos = cosine_pandas()
-    scored = (
+    floor = threshold - 1e-6
+
+    def _mat(col, n):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        try:
+            widths = np.diff(arr.offsets.to_numpy())
+            uniform = n > 0 and widths.size == n and (widths == widths[0]).all()
+        except (AttributeError, TypeError):
+            uniform = False
+        if uniform:
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            return flat.reshape(n, int(widths[0]))
+        return np.vstack(arr.to_pylist()).astype("float64")  # ragged fallback
+
+    def score_arrow(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            A = _mat(rb.column(1), n)
+            B = _mat(rb.column(3), n)
+            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            d = np.einsum("ij,ij->i", A, B)
+            cos = np.where(denom > 0, d / np.maximum(denom, 1e-300), 0.0)
+            keep = cos >= floor
+            if not keep.any():
+                continue
+            idx = np.nonzero(keep)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0).take(pa.array(idx)),
+                    rb.column(2).take(pa.array(idx)),
+                    pa.array(cos[idx], type=pa.float64()),
+                ],
+                names=["id_a", "id_b", "__raw"],
+            )
+
+    idt = corpus.schema[id_col].dataType
+    pair_stream = (
         probes.join(homes, "centroid_id")
         .filter(F.col("id_a") != F.col("id_b"))
-        .select(
+        .select("id_a", "va", "id_b", "vb")
+    )
+    raw = pair_stream.mapInArrow(
+        score_arrow,
+        schema=T.StructType(
+            [
+                T.StructField("id_a", idt),
+                T.StructField("id_b", idt),
+                T.StructField("__raw", T.DoubleType()),
+            ]
+        ),
+    )
+    scored = (
+        raw.select(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
-            F.round(cos(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(F.col("__raw"), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .distinct()

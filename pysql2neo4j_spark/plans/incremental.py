@@ -424,6 +424,10 @@ def _finalize_full(spark, out_dir, cfg, stage, committed, version):
 
 
 def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t0 = _time.time()
     stage = meta["stage"]
     f2e_prior, surf_prior, edges_prior = _read_state(spark, out_dir, meta["version"])
 
@@ -445,6 +449,8 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
         .agg(F.sum("n").cast("long").alias("n"))
         .localCheckpoint(eager=True)  # cut lineage: reused by nodes + forms
     )
+    timings["surf_merge"] = round(_time.time() - _t0, 3)
+    _t0 = _time.time()
 
     # ---- 2/3. delta linking + CC over membership + new edges
     forms_all = surf_new.groupBy("norm").agg(F.sum("n").alias("n_mentions"))
@@ -464,6 +470,8 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
         f2e_new = canonical_entities(
             forms_all, new_edges.unionByName(membership), n_partitions=cfg.cc_partitions
         ).localCheckpoint(eager=True)  # small; reused by nodes, edges, remap
+    timings["delta_link_cc"] = round(_time.time() - _t0, 3)
+    _t0 = _time.time()
 
     # ---- 4. nodes from merged vocab state (zero fact re-scan)
     per_surface = surf_new.join(F.broadcast(f2e_new), on="norm").select(
@@ -496,6 +504,8 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
     # under-report ir_triple_rows_read), and the threaded writes below
     # read caches only.
     affected = affected.localCheckpoint(eager=True)
+    timings["merge_materialize"] = round(_time.time() - _t0, 3)
+    _t0 = _time.time()
 
     # ---- commit state vN, then publish, then flip meta. The three
     # state writes are mutually independent (their shared inputs are
@@ -522,9 +532,12 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
         ]
         for f in futs:
             f.result()
+    timings["state_writes"] = round(_time.time() - _t0, 3)
+    _t0 = _time.time()
     nodes_out, edges_out = _publish_delta(
         spark, out_dir, nodes, untouched, merged, affected, cfg
     )
+    timings["publish"] = round(_time.time() - _t0, 3)
     _commit_state_meta(out_dir, {
         "version": version, "stage": stage, "context_weight": 0.0,
         "finalized_run_dirs": sorted(set(meta["finalized_run_dirs"]) | set(delta_dirs)),
@@ -539,5 +552,6 @@ def _finalize_delta(spark, out_dir, cfg, meta, delta_dirs, version):
             "n_delta_run_dirs": len(delta_dirs),
             "ir_mention_rows_read": int(obs_m.get["n"] or 0),
             "ir_triple_rows_read": int(obs_t.get["n"] or 0),
+            "timings": timings,
         },
     }

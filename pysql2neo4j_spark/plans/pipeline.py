@@ -267,14 +267,29 @@ def materialize_graph(
     )
     timings["links_def"] = round(time.time() - t0, 3)
 
+    # nodes and edges are INDEPENDENT tables into a fresh out_dir (no
+    # publish-ordering constraint — that exists only in the delta
+    # finalize, where state must land before the live dirs mutate), so
+    # the two writes run from concurrent driver threads (guide §2.6):
+    # the vocabulary-sized nodes job back-fills executors idled by the
+    # edge job's tail instead of serializing ~0.6 s of pure fixed cost
+    # after it. Job descriptions/timings stay distinguishable: the
+    # threaded timer records each write's own wall span.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _timed_write(df, sub, key):
+        t0 = time.time()
+        write_bucketed(df, os.path.join(out_dir, sub), key,
+                       n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
+        return round(time.time() - t0, 3)
+
     t0 = time.time()
-    write_bucketed(nodes, os.path.join(out_dir, "nodes"), "entity_id",
-                   n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
-    timings["write_nodes"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    write_bucketed(edges, os.path.join(out_dir, "edges"), "src_entity",
-                   n_buckets=cfg.n_entity_buckets, catalog=cfg.catalog)
-    timings["write_edges"] = round(time.time() - t0, 3)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        nodes_fut = pool.submit(_timed_write, nodes, "nodes", "entity_id")
+        edges_fut = pool.submit(_timed_write, edges, "edges", "src_entity")
+        timings["write_nodes"] = nodes_fut.result()
+        timings["write_edges"] = edges_fut.result()
+    timings["write_wall"] = round(time.time() - t0, 3)
     for c in caches:
         c.unpersist(blocking=False)
 
