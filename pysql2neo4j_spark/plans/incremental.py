@@ -184,8 +184,16 @@ def _publish_delta(
         to_write = to_write.repartition(max(len(affected_pks), 1), "part_key")
         written_pks = set()
         if affected_pks:
-            to_write = to_write.localCheckpoint(eager=True)
-            written_pks = {r.part_key for r in to_write.select("part_key").distinct().collect()}
+            # fuse the written-bucket probe into the checkpoint job
+            # (r7): collect_set(part_key) observed on the same pass
+            # that materializes the checkpoint replaces the separate
+            # distinct().collect() job — the delta publish is fixed-
+            # job-count-bound at small delta sizes.
+            obs = Observation()
+            to_write = to_write.observe(
+                obs, F.collect_set("part_key").alias("pks")
+            ).localCheckpoint(eager=True)
+            written_pks = set(obs.get["pks"] or [])
             (
                 to_write.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
