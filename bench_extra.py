@@ -25,6 +25,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    if repeats < 1:
+        raise SystemExit("repeats must be >= 1 (0 passes would print Infinity, not JSON)")
 
     from pysql2neo4j_spark.entry_queries import QUERIES
     from pysql2neo4j_spark.session import get_spark, warm_python_workers

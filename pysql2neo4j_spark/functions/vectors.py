@@ -8,7 +8,6 @@ the batched top-k path where numpy BLAS wins.)
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -50,23 +49,9 @@ def norm_bucket(a: Column, n_buckets: int = 16) -> Column:
     return out
 
 
-def cosine_pandas():
-    """Arrow-batched rowwise cosine as a ``pandas_udf`` — for pair
-    STREAMS (scored join outputs), where the JVM ``zip_with`` +
-    ``aggregate`` path runs interpreted per element (measured: ~20 s
-    for 500k 64-dim pairs vs <1 s here). Same round-6 contract as the
-    oracle-matched gemm kernels in operators/similarity.py."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if not len(a):
-            return pd.Series([], dtype="float64")
-        A = np.vstack(a.to_numpy()).astype("float64")
-        B = np.vstack(b.to_numpy()).astype("float64")
-        denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        d = np.einsum("ij,ij->i", A, B)
-        return pd.Series(np.where(denom > 0, d / denom, 0.0))
-
-    return _cos
+# (r7) the former cosine_pandas pandas_udf factory was removed: its
+# only caller, similarity.ivf_join_pairs, now scores pair streams via
+# a mapInArrow kernel that reads the list buffers zero-copy — the
+# pandas path materialized every vector cell as a per-row object
+# first, which dominated the stage. Rowwise-vectorized cosine for pair
+# streams lives there.

@@ -105,6 +105,46 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def minhash_band_buckets(sh: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, bucket) LSH band buckets over a materialized (id, sh)
+    shingle frame, in the CODEGEN shape (r7): the declarative form —
+    ``band_keys(minhash_signature(sh))`` — nests lambdas inside
+    ``transform(sequence(0, k-1), ...)``, and Catalyst evaluates every
+    higher-order lambda INTERPRETED, one closure call per (shingle,
+    hash-index) pair: k x |shingles| interpreted xxhash64 evals per
+    doc, measured as 33 s of the 35 s sf0.1 ``dedup_minhash_lsh`` key
+    (the whole rest of the query is ~2 s) — and worse once the suite's
+    query mix leaves the interpreter's call sites megamorphic.
+    Exploding the shingle array and computing the k hashes as ordinary
+    ``xxhash64(s, INT i)`` projections puts the same arithmetic back
+    into whole-stage codegen; the k ``min`` aggregates are map-side
+    combined, so the shuffle carries one partial row per doc per
+    partition, not the shingle stream. Hash-identical to
+    ``minhash_signature``/``band_keys`` (same hash family, same band
+    concat) — asserted bucket-for-bucket against the declarative form
+    in tests/test_dedup.py::test_minhash_codegen_buckets_match_declarative,
+    which calls THIS function (one construction, no hand-synced copy).
+
+    ``sh`` must already be materialized/checkpointed by the caller —
+    the shingle expression is the most expensive tree in the plan and
+    must not be re-inlined into the explode."""
+    k = bands * rows
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    sig = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"__h{i}") for i in range(k)]
+    )
+    band_cols = [
+        F.xxhash64(
+            F.lit(b),
+            F.concat_ws(
+                ",", *[F.col(f"__h{b * rows + r}").cast("string") for r in range(rows)]
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+
+
 # ------------------------------------------------- shingles & jaccard
 
 def _with_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -226,37 +266,7 @@ def minhash_lsh_pairs(
     sh = _with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True).filter(
         F.size("sh") > 0
     )
-    # signature compute in the CODEGEN shape (r7): the declarative form
-    # — band_keys(minhash_signature(sh)) — nests lambdas inside
-    # transform(sequence(0, k-1), ...), and Catalyst evaluates every
-    # higher-order lambda INTERPRETED, one closure call per (shingle,
-    # hash-index) pair: k x |shingles| interpreted xxhash64 evals per
-    # doc, measured as 33 s of the 35 s sf0.1 key (the whole rest of
-    # the query is ~2 s). Exploding the checkpointed shingle array and
-    # computing the k hashes as ordinary xxhash64 projections puts the
-    # same arithmetic back into whole-stage codegen, and the k min
-    # aggregates are map-side combined — the shuffle carries one
-    # partial row per doc per partition, not the shingle stream.
-    # Hash-identical to minhash_signature/band_keys (same xxhash64(s,
-    # INT i) family, same band concat) — asserted bucket-for-bucket in
-    # tests/test_dedup.py::test_minhash_codegen_buckets_match_declarative.
-    k = bands * rows
-    ex = sh.select("id", F.explode("sh").alias("s"))
-    sig = ex.groupBy("id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"__h{i}") for i in range(k)]
-    )
-    band_cols = [
-        F.xxhash64(
-            F.lit(b),
-            F.concat_ws(
-                ",", *[F.col(f"__h{b * rows + r}").cast("string") for r in range(rows)]
-            ),
-        )
-        for b in range(bands)
-    ]
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket")).localCheckpoint(
-        eager=True
-    )
+    buckets = minhash_band_buckets(sh, bands, rows).localCheckpoint(eager=True)
     # over-cap buckets via hash-aggregate + broadcast ANTI join, not a
     # count window: the window shape shuffles AND sorts the whole
     # corpus-sized bucket frame — twice, once per self-join side

@@ -366,6 +366,7 @@ def _match_mention_only(sents: pd.DataFrame, claimed_rel: pd.Series) -> pd.DataF
 
 def extract_mentions_flat(turns: DataFrame) -> DataFrame:
     """B6 flat path: one mapInPandas crossing, mention rows out."""
+    turns = turns.select("conv_id", "turn_idx", "role", "text")  # guide §4.1
 
     def kernel(batches):
         for pdf in batches:
@@ -401,6 +402,7 @@ def extract_mentions_flat(turns: DataFrame) -> DataFrame:
 
 def extract_triples_flat(turns: DataFrame) -> DataFrame:
     """B7 flat path: one mapInPandas crossing, triple rows out."""
+    turns = turns.select("conv_id", "turn_idx", "tool", "ts", "text")  # guide §4.1
 
     def kernel(batches):
         for pdf in batches:
@@ -486,7 +488,20 @@ _STAGED_COLS = [f.name for f in STAGED_SCHEMA.fields]
 
 def extract_all_flat(turns: DataFrame) -> DataFrame:
     """One mapInPandas crossing emitting mention rows ('m') and triple
-    rows ('t') together (the pipeline hot path — see plans/pipeline.py)."""
+    rows ('t') together (the pipeline hot path — see plans/pipeline.py).
+
+    Projects to exactly the kernel's six input columns before the
+    Python crossing (guide §4.1: Spark cannot see which columns an
+    opaque mapInPandas touches, so it would ship them all): callers
+    pass frames carrying part_key and the stable-order turn_ord, and
+    pruning those here (a) keeps them out of Arrow and (b) lets
+    Catalyst drop the WindowExec + full-text per-partition sort behind
+    turn_ord from every call site's plan — batch extract_stage, the
+    streaming bridge's per-microbatch extract, and the dry-run plan —
+    since the kernel is a pure function of each row's text and nothing
+    downstream of the staged rows reads turn_ord (r7; plan evidence in
+    plans/r07/kg_build_extract_{before,after}.txt)."""
+    turns = turns.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
 
     def kernel(batches):
         for pdf in batches:

@@ -232,6 +232,20 @@ def ivf_topk(
         import numpy as np
 
         q_pdf = queries.select(id_col, vec_col).toPandas()
+        if not len(q_pdf):
+            # parity with the old lazy plan: zero queries -> zero rows
+            # (np.vstack on an empty query matrix would raise instead)
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("query_id", queries.schema[id_col].dataType),
+                        T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+                        T.StructField("score", T.DoubleType()),
+                        T.StructField("rnk", T.LongType()),
+                    ]
+                ),
+            )
         qids = q_pdf[id_col].to_numpy()
         Q = np.vstack(q_pdf[vec_col].to_numpy()).astype("float64")
         Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -268,10 +282,13 @@ def ivf_topk(
                     idx = np.nonzero(mask[:, qi])[0]
                     if not len(idx):
                         continue
-                    # exact per-batch top-k under the global tiebreak
+                    # exact per-batch top-k under the global tiebreak;
+                    # _py unwraps numpy scalars but passes string/object
+                    # ids through (the id column type is caller-defined)
+                    _py = lambda v: v.item() if hasattr(v, "item") else v  # noqa: E731
                     order = idx[np.lexsort((ids[idx], -S[idx, qi]))][:kk]
                     rows.extend(
-                        (qids[qi].item(), ids[ci].item(), float(S[ci, qi]))
+                        (_py(qids[qi]), _py(ids[ci]), float(S[ci, qi]))
                         for ci in order
                     )
                 if rows:

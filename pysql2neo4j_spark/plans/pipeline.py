@@ -111,19 +111,16 @@ def extract_stage(
         # ONE extraction pass: mentions + triples staged together
         # (union schema, row_type discriminator); part_key is a pure
         # function of conv_id — recomputed, never joined back.
-        # Project to exactly the kernel's input columns before the
-        # Python crossing (guide §4.1: Spark cannot see which columns
-        # an opaque mapInPandas touches, so it ships them all): without
-        # this, part_key and turn_ord ride through Arrow for nothing,
-        # and — because turn_ord is only consumed by per-turn ORDER
-        # consumers (streaming bridge emission, dry-run sampling), not
-        # by the row-wise-pure batch kernel — pruning it lets Catalyst
-        # drop the WindowExec + its full-text per-partition sort from
-        # this plan entirely (one Sort + one window over 10^12 turns at
-        # scale). Result-identical: the kernel is a pure function of
-        # each row's text, and everything downstream aggregates.
-        kernel_in = ordered.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
-        staged = with_part_key(extract_all_flat(kernel_in), cfg.n_buckets)
+        # extract_all_flat projects to the kernel's input columns
+        # internally (r7), which prunes part_key/turn_ord out of the
+        # Arrow crossing AND lets Catalyst delete the stable-order
+        # WindowExec + its full-text per-partition sort from this plan
+        # (one Sort + window over 10^12 turns at scale; plan evidence
+        # in plans/r07/). with_stable_order stays in the plan
+        # deliberately — B2 remains the declared ordering step and its
+        # own consumers/tests exercise turn_ord — the pruning is
+        # Catalyst's, proven by the committed explain dumps.
+        staged = with_part_key(extract_all_flat(ordered), cfg.n_buckets)
         # FLAT files, part_key as a column: a dynamic-partition
         # (partitionBy) write above a Python-kernel plan measured
         # 10x the flat write (50.7s vs 5.1s for the same rows — the

@@ -492,7 +492,7 @@ def test_minhash_codegen_buckets_match_declarative(docs):
     or the candidate set (and with it the oracle-checked pair set's
     recall guarantee) silently drifts."""
     from pysql2neo4j_spark.functions.hashing import band_keys, minhash_signature
-    from pysql2neo4j_spark.operators.dedup import _with_shingles
+    from pysql2neo4j_spark.operators.dedup import _with_shingles, minhash_band_buckets
 
     bands, rows = 12, 2
     k = bands * rows
@@ -505,20 +505,10 @@ def test_minhash_codegen_buckets_match_declarative(docs):
             "id", band_keys(minhash_signature(F.col("sh"), k=k), bands, rows).alias("bk")
         ).select("id", F.explode("bk").alias("bucket")).collect()
     )
-    ex = sh.select("id", F.explode("sh").alias("s"))
-    sig = ex.groupBy("id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"__h{i}") for i in range(k)]
-    )
-    band_cols = [
-        F.xxhash64(
-            F.lit(b),
-            F.concat_ws(",", *[F.col(f"__h{b * rows + r}").cast("string") for r in range(rows)]),
-        )
-        for b in range(bands)
-    ]
+    # THE production construction (no hand-synced copy): drift in
+    # minhash_band_buckets fails here against the declarative spec
     codegen = sorted(
-        (r.id, r.bucket)
-        for r in sig.select("id", F.explode(F.array(*band_cols)).alias("bucket")).collect()
+        (r.id, r.bucket) for r in minhash_band_buckets(sh, bands, rows).collect()
     )
     assert codegen == declarative and len(codegen) == bands * sh.count()
 
@@ -533,7 +523,6 @@ def test_oracle_scale_buckets_under_caps(spark):
     fails BEFORE the driver sees an engine-vs-oracle divergence."""
     from pysql2neo4j_spark.functions.hashing import simhash64
     from pysql2neo4j_spark.functions.text import norm_text, tokens
-    from pysql2neo4j_spark.operators.dedup import minhash_lsh_pairs  # noqa: F401 (cap under test)
 
     d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     chunks = d.select(
@@ -552,22 +541,11 @@ def test_oracle_scale_buckets_under_caps(spark):
     max_chunk = chunks.groupBy("chunk").count().agg(F.max("count")).first()[0]
     assert max_chunk <= 10_000, f"simhash chunk bucket {max_chunk} exceeds the cap regime"
 
-    from pysql2neo4j_spark.operators.dedup import _with_shingles
+    from pysql2neo4j_spark.operators.dedup import _with_shingles, minhash_band_buckets
 
     sh = _with_shingles(d, "doc_id", "text", 3).localCheckpoint(eager=True)
-    ex = sh.select("id", F.explode("sh").alias("s"))
-    sig = ex.groupBy("id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"__h{i}") for i in range(24)]
-    )
-    band_cols = [
-        F.xxhash64(
-            F.lit(b),
-            F.concat_ws(",", *[F.col(f"__h{b * 2 + r}").cast("string") for r in range(2)]),
-        )
-        for b in range(12)
-    ]
     max_band = (
-        sig.select(F.explode(F.array(*band_cols)).alias("bucket"))
+        minhash_band_buckets(sh, 12, 2)
         .groupBy("bucket").count().agg(F.max("count")).first()[0]
     )
     assert max_band <= 10_000, f"minhash band bucket {max_band} exceeds the cap regime"

@@ -43,9 +43,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     "multimodal_features": ["MapInPandas"],
     # corpus-join: the assignment kernel runs inside an eager
     # localCheckpoint (its MapInPandas is behind the ExistingRDD leaf);
-    # the visible plan must show the Arrow cosine and a REAL cell
-    # equi-join — never a crossJoin of the corpus against itself
-    "ann_ivf_join": ["ArrowEvalPython", "NOT:CartesianProduct", "NOT:BroadcastNestedLoopJoin"],
+    # the visible plan must show the zero-copy Arrow scoring kernel
+    # (r7: mapInArrow replaced the ArrowEvalPython pandas_udf cosine)
+    # and a REAL cell equi-join — never a crossJoin of the corpus
+    # against itself
+    "ann_ivf_join": ["MapInArrow", "NOT:CartesianProduct", "NOT:BroadcastNestedLoopJoin"],
     # span dedup: explode + hash agg, no pair join anywhere
     "dedup_spans": ["Generate", "HashAggregate", "NOT:SortMergeJoin", "NOT:BroadcastHashJoin"],
     # decontamination: eval n-gram set broadcasts; training side never shuffles
