@@ -194,13 +194,29 @@ def verify_resume_integrity(
     return recorded.count()
 
 
-def partition_metrics(turns: DataFrame, triples: DataFrame) -> DataFrame:
-    """Per-partition lineage: input row count, emitted-triple count, and
-    an order-independent fingerprint of the input rows (XOR of
-    xxhash64). ``turns`` and ``triples`` must both carry part_key."""
-    rows = turns.groupBy("part_key").agg(
+def input_partition_fingerprints(turns: DataFrame) -> DataFrame:
+    """Input-side half of the lineage metrics: per-part_key row count +
+    order-independent fingerprint (XOR of xxhash64 over the identity
+    columns). Split out (r7) so the extract stage can run this scan
+    from a driver thread CONCURRENTLY with the staged write — the two
+    jobs share no dependency (this reads the source, the write runs
+    the kernel), and sequencing them serialized a full column-pruned
+    input pass behind the kernel pass."""
+    return turns.groupBy("part_key").agg(
         F.count("*").alias("n_rows"),
         F.hex(F.bit_xor(F.xxhash64("conv_id", "turn_idx", "text"))).alias("input_fingerprint"),
     )
+
+
+def partition_metrics(
+    turns: DataFrame, triples: DataFrame, rows: DataFrame | None = None
+) -> DataFrame:
+    """Per-partition lineage: input row count, emitted-triple count, and
+    an order-independent fingerprint of the input rows (XOR of
+    xxhash64). ``turns`` and ``triples`` must both carry part_key.
+    ``rows`` optionally supplies a pre-computed (possibly already
+    materialized) ``input_partition_fingerprints(turns)`` frame."""
+    if rows is None:
+        rows = input_partition_fingerprints(turns)
     tcounts = triples.groupBy("part_key").agg(F.count("*").alias("n_triples"))
     return rows.join(tcounts, on="part_key", how="left").fillna({"n_triples": 0})

@@ -129,20 +129,40 @@ def extract_stage(
         # directory layout, and the real partition-pruned layout is
         # the Iceberg path of the writer seam.
         run_dir = f"run-{uuid.uuid4().hex[:12]}"
-        staged.write.mode("errorifexists").parquet(os.path.join(staged_root, run_dir))
-        staged_new = spark.read.schema(_staged_with_key()).parquet(
-            os.path.join(staged_root, run_dir)
+        # the input-side lineage scan (3 pruned columns, JVM-only) has
+        # no dependency on the staged write, so it runs from a driver
+        # thread UNDER the kernel pass (guide §2.6) instead of as a
+        # second sequential input pass after it; the manifest commit
+        # still happens strictly after both (a failure on either side
+        # leaves the run dir uncommitted-invisible, exactly as before).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .checkpoint import input_partition_fingerprints
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        rows_fut = pool.submit(
+            lambda: input_partition_fingerprints(
+                t.select("part_key", "conv_id", "turn_idx", "text")
+            ).localCheckpoint(eager=True)
         )
-        # lineage metrics re-scan only the 3 input columns JVM-side (the
-        # extraction pass above is the only full-text Python crossing)
-        ckpt.record(
-            partition_metrics(
-                t.select("part_key", "conv_id", "turn_idx", "text"),
-                staged_new.filter(F.col("row_type") == "t"),
-            ),
-            STAGE_EXTRACT,
-            run_dir=run_dir,
-        )
+        try:
+            staged.write.mode("errorifexists").parquet(os.path.join(staged_root, run_dir))
+            staged_new = spark.read.schema(_staged_with_key()).parquet(
+                os.path.join(staged_root, run_dir)
+            )
+            ckpt.record(
+                partition_metrics(
+                    t,
+                    staged_new.filter(F.col("row_type") == "t"),
+                    rows=rows_fut.result(),
+                ),
+                STAGE_EXTRACT,
+                run_dir=run_dir,
+            )
+        finally:
+            # no thread may outlive this function on the write's error
+            # paths (the _publish_delta precedent)
+            pool.shutdown(wait=True)
 
     return read_committed_ir(spark, out_dir, cfg)
 
