@@ -494,14 +494,16 @@ def duplicated_ngram_spans(
             positional_ngram_spans(F.col("l"), n)
         ).alias("span"),
     )
-    # two-level aggregate instead of countDistinct-next-to-count (r7):
-    # mixing a DISTINCT aggregate with a plain one makes Catalyst plan
-    # an Expand that DOUBLES every exploded span row into the shuffle
-    # (one copy per grouping id). Pre-aggregating on (span, doc_id)
-    # keeps each span row single and map-side combined; n_docs is then
-    # a plain count and n_total a sum — result-identical (asserted
-    # equal at sf0.1), and at 10^12-token scale the span shuffle is
-    # this operator's whole cost.
+    # EXPLICIT two-level aggregate instead of countDistinct-next-to-
+    # count (r7). Measured honestly: with a SINGLE distinct aggregate
+    # Catalyst's RewriteDistinctAggregates already plans this same
+    # (span, doc_id) -> (span) shape with no Expand (see
+    # plans/r07/dedup_spans_before.txt), so this is result-identical
+    # (asserted at sf0.1) and performance-neutral (1.13 -> 1.00 s,
+    # within noise) — kept because the explicit form no longer depends
+    # on the optimizer rewrite, and a future SECOND distinct aggregate
+    # here would flip the declarative form into the Expand plan that
+    # doubles the span shuffle.
     per_doc = g.groupBy("span", "doc_id").agg(F.count("*").alias("__n"))
     return (
         per_doc.groupBy("span")
